@@ -1,0 +1,59 @@
+"""Configuration dataclasses.
+
+One dataclass per CLI surface, mirroring the reference option names and
+defaults exactly (profiler: src/slimm.cpp:60-180 + slimm.hpp:75-86;
+builder: src/slimm_build.cpp:54-114).  No config files / env vars in the
+reference; we add optional TPU-execution knobs in EngineOptions which do not
+change results (integer-exact merges make shard count invisible).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ProfileOptions:
+    """Options of the `slimm` profiler CLI (reference slimm.hpp:49-87)."""
+
+    database_path: str = ""
+    input_path: str = ""
+    output_prefix: str = ""
+    bin_width: int = 0           # 0 → auto: avg read length (slimm.hpp:412-413)
+    min_reads: int = 0           # 0 → auto: 1 + (matches-1)/10000 (slimm.hpp:458-459)
+    rank: str = "species"
+    cov_cut_off: float = 0.95    # quantile in [0, 1] (slimm.cpp:91-96)
+    abundance_cut_off: float = 0.01  # in [0, 10] (slimm.cpp:98-102)
+    is_directory: bool = False
+    raw_output: bool = False
+    coverage_output: bool = False
+    verbose: bool = False
+
+
+@dataclass
+class BuildOptions:
+    """Options of the `slimm_build` DB-builder CLI (slimm_build.cpp:54-70)."""
+
+    fasta_path: str = ""
+    ac__taxid_paths: list[str] = field(default_factory=list)
+    names_path: str = ""
+    nodes_path: str = ""
+    output_path: str = "slimm_db.sldb"
+    batch: int = 1000000
+    verbose: bool = False
+
+
+@dataclass
+class EngineOptions:
+    """TPU execution knobs (no reference analogue; results are invariant)."""
+
+    # Data-parallel shards over the read axis; None → all local devices.
+    num_shards: int | None = None
+    # Pad record batches to multiples of this (static shapes for jit).
+    batch_pad: int = 8192
+    # Use the native C++ decoder when available.
+    use_native: bool = True
+    # Emit a jax.profiler trace directory when set.
+    trace_dir: str | None = None
+    # Per-phase timing log to stderr, same shape as the reference.
+    phase_log: bool = True

@@ -1,0 +1,186 @@
+"""SAM / BAM alignment ingestion → fixed-width record arrays.
+
+TPU-native replacement for the reference's SeqAn BamFileIn path
+(misc.hpp:498-522, slimm.hpp:191-213): instead of streaming one
+BamAlignmentRecord at a time into hash maps, the decoder produces dense numpy
+arrays (read_id, rid, pos) ready for device transfer, with the read-name
+dictionary (qname + ".1"/".2" pair suffix) applied on the host.
+
+Two decoders:
+  * this pure-Python module (reference path, always available);
+  * the native C++ decoder (slimm_tpu.io.native), used when built — same
+    array contract, ~50x faster.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+FLAG_UNMAPPED = 0x4
+FLAG_FIRST = 0x40
+FLAG_LAST = 0x80
+
+AVG_LEN_SAMPLE = 100000  # reference samples <=100k records (slimm.hpp:409)
+
+
+@dataclass
+class RecordBatch:
+    """Mapped alignment records of one file as dense arrays.
+
+    read_id: int64 per-record read index (dictionary order = first appearance)
+    rid:     int32 contig index from the header
+    pos:     int32 0-based leftmost mapping position
+    """
+
+    read_id: np.ndarray
+    rid: np.ndarray
+    pos: np.ndarray
+    n_reads: int           # distinct read keys == matches_count
+    hits_count: int        # mapped records == hits_count
+    avg_read_length: int   # two-pass sampling semantics (misc.hpp:509-522)
+    read_keys: list | None = None  # optional (debug/tests)
+
+
+def _is_bam(path: str) -> bool:
+    with open(path, "rb") as f:
+        head = f.read(4)
+    if head[:2] == b"\x1f\x8b":  # BGZF/gzip
+        return True
+    return head == b"BAM\x01"
+
+
+class AlignmentFile:
+    """Header + record arrays for one SAM or BAM file."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.contig_names: list[str] = []
+        self.contig_lengths: np.ndarray | None = None
+        self._records = None  # list of (qname, flag, rid, pos, seq_len)
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"Could not open {path}!")
+        if _is_bam(path):
+            self._parse_bam()
+        else:
+            self._parse_sam()
+
+    # -- parsing -------------------------------------------------------------
+
+    def _parse_sam(self):
+        names, lengths, records = [], [], []
+        rid_of = {}
+        with open(self.path, "rt") as f:
+            for line in f:
+                if line.startswith("@"):
+                    if line.startswith("@SQ"):
+                        sn, ln = None, None
+                        for field in line.rstrip("\n").split("\t")[1:]:
+                            if field.startswith("SN:"):
+                                sn = field[3:]
+                            elif field.startswith("LN:"):
+                                ln = int(field[3:])
+                        if sn is not None:
+                            rid_of[sn] = len(names)
+                            names.append(sn)
+                            lengths.append(ln or 0)
+                    continue
+                cols = line.rstrip("\n").split("\t")
+                if len(cols) < 11:
+                    continue
+                qname, flag, rname, pos1 = cols[0], int(cols[1]), cols[2], int(cols[3])
+                seq = cols[9]
+                seq_len = 0 if seq == "*" else len(seq)
+                rid = rid_of.get(rname, -1)
+                records.append((qname, flag, rid, pos1 - 1, seq_len))
+        self.contig_names = names
+        self.contig_lengths = np.asarray(lengths, np.int64)
+        self._records = records
+
+    def _parse_bam(self):
+        # BGZF is a series of gzip members; python gzip handles concatenation.
+        with gzip.open(self.path, "rb") as f:
+            data = f.read()
+        if data[:4] != b"BAM\x01":
+            raise ValueError(f"{self.path}: not a BAM file")
+        off = 4
+        (l_text,) = struct.unpack_from("<i", data, off)
+        off += 4 + l_text
+        (n_ref,) = struct.unpack_from("<i", data, off)
+        off += 4
+        names, lengths = [], []
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack_from("<i", data, off)
+            off += 4
+            names.append(data[off:off + l_name - 1].decode())
+            off += l_name
+            (l_ref,) = struct.unpack_from("<i", data, off)
+            off += 4
+            lengths.append(l_ref)
+        records = []
+        n = len(data)
+        while off + 4 <= n:
+            (block_size,) = struct.unpack_from("<i", data, off)
+            off += 4
+            (ref_id, pos, l_read_name, _mapq, _bin, _n_cigar, flag, l_seq
+             ) = struct.unpack_from("<iiBBHHHi", data, off)
+            qname = data[off + 32:off + 32 + l_read_name - 1].decode()
+            records.append((qname, flag, ref_id, pos, l_seq))
+            off += block_size
+        self.contig_names = names
+        self.contig_lengths = np.asarray(lengths, np.int64)
+        self._records = records
+
+    # -- record access -------------------------------------------------------
+
+    def raw_records(self):
+        """(qname, flag, rid, pos, seq_len) tuples — oracle/test input."""
+        return self._records
+
+    def load(self) -> RecordBatch:
+        """Build the dense arrays + read-name dictionary.
+
+        Read keys get the ".1"/".2" pair suffix from the first/last-of-pair
+        flags (slimm.hpp:204-209); ids are assigned in first-appearance order.
+        Unmapped or invalid-rid records are excluded (slimm.hpp:197-198) but
+        still count toward the average-read-length sample.
+        """
+        total_len = 0
+        n_sampled = 0
+        read_ids, rids, poss = [], [], []
+        key_to_id: dict[str, int] = {}
+        keys: list[str] = []
+        for qname, flag, rid, pos, seq_len in self._records:
+            if n_sampled < AVG_LEN_SAMPLE and seq_len > 0:
+                total_len += seq_len
+                n_sampled += 1
+            if (flag & FLAG_UNMAPPED) or rid < 0:
+                continue
+            if flag & FLAG_FIRST:
+                key = qname + ".1"
+            elif flag & FLAG_LAST:
+                key = qname + ".2"
+            else:
+                key = qname
+            idx = key_to_id.get(key)
+            if idx is None:
+                idx = len(key_to_id)
+                key_to_id[key] = idx
+                keys.append(key)
+            read_ids.append(idx)
+            rids.append(rid)
+            poss.append(pos)
+        if n_sampled == 0:
+            raise ZeroDivisionError("no records with sequences (misc.hpp:521)")
+        return RecordBatch(
+            read_id=np.asarray(read_ids, np.int64),
+            rid=np.asarray(rids, np.int32),
+            pos=np.asarray(poss, np.int32),
+            n_reads=len(key_to_id),
+            hits_count=len(read_ids),
+            avg_read_length=total_len // n_sampled,
+            read_keys=keys)

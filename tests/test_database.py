@@ -1,0 +1,103 @@
+import os
+
+import numpy as np
+
+from slimm_tpu.database import SlimmDatabase, build_database, tensorize
+from slimm_tpu.config import BuildOptions
+from slimm_tpu.taxonomy import LINEAGE_LENGTH, Rank
+
+from tests.toy import TOY_CONTIGS, build_toy_db
+
+
+def test_build_database_lineages(toy_dir):
+    db = build_toy_db(toy_dir)
+    # E. coli K-12 contig: strain 100001 → species 562 → genus 561 →
+    # family 543 → order 91347 → class 1236 → phylum 1224 → superkingdom 2
+    lin = db.ac__taxid["NC_000001"]
+    assert lin == [100001, 562, 561, 543, 91347, 1236, 1224, 2]
+    # Bacillus
+    assert db.ac__taxid["NC_000005"] == [100004, 1396, 1386, 186817, 1385,
+                                         91061, 1239, 2]
+    # names + ranks recorded for every lineage taxid (slimm_build.cpp:326-345)
+    assert db.taxid__name[562] == (int(Rank.SPECIES), "Escherichia coli")
+    assert db.taxid__name[2] == (int(Rank.SUPERKINGDOM), "Bacteria")
+    assert db.taxid__name[100001] == (int(Rank.STRAIN), "Escherichia coli K-12")
+    # unresolved accession is NOT in the DB
+    assert "NC_000099" not in db.ac__taxid
+
+
+def test_build_database_missed_file(toy_dir):
+    build_toy_db(toy_dir)
+    # substr(0, size-4) + "missed" (slimm_build.cpp:204-205): keeps the dot
+    missed = os.path.join(toy_dir.dir, "toy.missed")
+    assert os.path.exists(missed)
+    assert open(missed).read().strip() == "NC_000099"
+
+
+def test_sldb_round_trip(toy_dir, tmp_path):
+    db = build_toy_db(toy_dir)
+    path = str(tmp_path / "rt.sldb")
+    db.save_sldb(path)
+    db2 = SlimmDatabase.load_sldb(path)
+    assert db2.ac__taxid == db.ac__taxid
+    assert db2.taxid__name == db.taxid__name
+
+
+def test_sldb_binary_layout(tmp_path):
+    # spot-check the cereal byte layout: counts are uint64, strings are
+    # uint64-length-prefixed, vectors are uint64-size + raw uint32 data
+    db = SlimmDatabase(
+        ac__taxid={"AB": [1, 2, 3, 4, 5, 6, 7, 8]},
+        taxid__name={9: (1, "x")})
+    path = str(tmp_path / "layout.sldb")
+    db.save_sldb(path)
+    raw = open(path, "rb").read()
+    import struct
+    assert struct.unpack_from("<Q", raw, 0)[0] == 1          # map size
+    assert struct.unpack_from("<Q", raw, 8)[0] == 2          # key length
+    assert raw[16:18] == b"AB"
+    assert struct.unpack_from("<Q", raw, 18)[0] == 8         # vector size
+    assert np.frombuffer(raw, "<u4", 8, 26).tolist() == [1, 2, 3, 4, 5, 6, 7, 8]
+    off = 26 + 32
+    assert struct.unpack_from("<Q", raw, off)[0] == 1        # 2nd map size
+    taxid, rank, slen = struct.unpack_from("<IiQ", raw, off + 8)
+    assert (taxid, rank, slen) == (9, 1, 1)
+    assert raw[off + 24:off + 25] == b"x"
+    assert len(raw) == off + 25
+
+
+def test_npz_cache_round_trip(toy_dir, tmp_path):
+    db = build_toy_db(toy_dir)
+    sldb = str(tmp_path / "c.sldb")
+    db.save_sldb(sldb)
+    db.save_npz(sldb + ".npz")
+    db3 = SlimmDatabase.load(sldb)  # prefers the .npz cache
+    assert db3.ac__taxid == db.ac__taxid
+    assert db3.taxid__name == db.taxid__name
+
+
+def test_tensorize(toy_dir):
+    db = build_toy_db(toy_dir)
+    names = [c[1] for c in TOY_CONTIGS]
+    dt = tensorize(db, names)
+    assert dt.lineage.shape == (len(names), LINEAGE_LENGTH)
+    # dense id 0 is taxid 0
+    assert dt.dense_to_tid[0] == 0
+    # round-trip: dense lineage maps back to the original taxids
+    back = dt.dense_to_tid[dt.lineage]
+    assert back[0].tolist() == [100001, 562, 561, 543, 91347, 1236, 1224, 2]
+    # unknown contig → all-zero lineage, and inserted into the live db map
+    assert back[5].tolist() == [0] * 8
+    assert db.ac__taxid["NC_000099"] == [0] * 8
+    # ranks
+    assert dt.tid_rank[dt.dense_of(562)] == int(Rank.SPECIES)
+    assert dt.tid_rank[dt.dense_of(2)] == int(Rank.SUPERKINGDOM)
+
+
+def test_acc2taxid_header_line_parses_as_zero(tmp_path):
+    # the reference does not skip the header; a failed int parse yields 0
+    p = tmp_path / "m.acc2taxid"
+    p.write_text("accession\taccession.version\ttaxid\tgi\nA1\tA1.1\t42\t0\n")
+    from slimm_tpu.database import stream_acc2taxid_batches
+    batches = list(stream_acc2taxid_batches(str(p), 10))
+    assert batches == [{"accession": 0, "A1": 42}]
