@@ -189,12 +189,13 @@ class ProfileState:
             ab = np.zeros(len(counts), np.float32)
             ab[active] = (((counts[active] * 100) & 0xFFFFFFFF).astype(np.float32)
                           / f32(hits))
-            total_ab = seq_sum_f32(np.where(
-                active, ab / self.lengths.astype(np.float32), f32(0.0)))
-            out[:] = np.where(
-                active,
-                (ab * f32(100.0)) / (total_ab * self.lengths.astype(np.float32)),
-                f32(0.0))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                total_ab = seq_sum_f32(np.where(
+                    active, ab / self.lengths.astype(np.float32), f32(0.0)))
+                out[:] = np.where(
+                    active,
+                    (ab * f32(100.0)) / (total_ab * self.lengths.astype(np.float32)),
+                    f32(0.0))
 
     # -- cutoffs (slimm.hpp:328-349, 672-688) ----------------------------------
 

@@ -6,11 +6,18 @@ of integer histograms makes N-shard runs bit-equal to 1-shard runs.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# the container's sitecustomize pins the axon TPU backend regardless of
+# JAX_PLATFORMS; the config update below takes precedence (must run before
+# any backend initialization).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

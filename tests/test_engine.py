@@ -1,0 +1,110 @@
+"""Engine ↔ oracle parity: the TPU pipeline must reproduce the scalar
+reference semantics exactly (integer counts bit-equal; float reports
+identical at 6 significant digits because they are computed by shared code
+from identical integers)."""
+
+import copy
+
+import numpy as np
+import pytest
+
+from slimm_tpu.config import EngineOptions, ProfileOptions
+from slimm_tpu.engine import profile_file
+from slimm_tpu.io import AlignmentFile
+from slimm_tpu.oracle import OracleProfiler
+
+from tests.toy import build_toy_db, build_toy_dataset, make_records, write_sam
+
+
+def run_both(toy_dir, records=None, options=None):
+    db = build_toy_db(toy_dir)
+    if records is None:
+        sam_path = toy_dir.sam_path
+        records = toy_dir.records
+    else:
+        sam_path = write_sam(toy_dir.dir, records, name="case.sam")
+    opts_o = options or ProfileOptions()
+    opts_e = copy.deepcopy(opts_o)
+    db_o = copy.deepcopy(db)
+    db_e = copy.deepcopy(db)
+
+    af = AlignmentFile(sam_path)
+    oracle = OracleProfiler(copy.deepcopy(opts_o), db_o.ac__taxid,
+                            db_o.taxid__name,
+                            list(zip(af.contig_names,
+                                     af.contig_lengths.tolist())))
+    st_o = oracle.run(af.raw_records())
+
+    st_e = profile_file(copy.deepcopy(opts_e), db_e, sam_path,
+                        engine=EngineOptions(phase_log=False))
+    return st_o, st_e
+
+
+def assert_states_equal(st_o, st_e):
+    # scalars
+    for name in ("hits_count", "matches_count", "uniq_matches_count",
+                 "uniq_matches_count2", "uniq_hits_count", "reference_count",
+                 "matched_ref_length", "avg_read_length"):
+        assert getattr(st_o, name) == getattr(st_e, name), name
+    # per-contig integer arrays
+    for name in ("reads_count", "uniq_reads_count", "uniq_reads_count2",
+                 "nbins", "bin_offset"):
+        np.testing.assert_array_equal(getattr(st_o, name), getattr(st_e, name),
+                                      err_msg=name)
+    # flat coverage histograms — bit equal
+    for name in ("cov", "uniq_cov", "uniq_cov2"):
+        np.testing.assert_array_equal(getattr(st_o, name), getattr(st_e, name),
+                                      err_msg=name)
+    # float abundances identical (same shared float32 code on same ints)
+    np.testing.assert_array_equal(st_o.abundance, st_e.abundance)
+    np.testing.assert_array_equal(st_o.uniq_abundance, st_e.uniq_abundance)
+    # filter + LCA results
+    assert st_o.valid_ref_ids == st_e.valid_ref_ids
+    assert st_o.taxon_id__read_count == st_e.taxon_id__read_count
+    assert st_o.taxon_id__children == st_e.taxon_id__children
+    # reports
+    assert st_o.abundance_rows() == st_e.abundance_rows()
+    assert st_o.raw_rows() == st_e.raw_rows()
+    assert st_o.coverage_rows() == st_e.coverage_rows()
+
+
+def test_engine_matches_oracle_toy(toy_dir):
+    st_o, st_e = run_both(toy_dir)
+    assert_states_equal(st_o, st_e)
+
+
+def test_engine_matches_oracle_large_random(tmp_path):
+    # bigger randomized dataset: 5k extra records
+    ds = build_toy_dataset(str(tmp_path), n_extra=5000, seed=123)
+    st_o, st_e = run_both(ds)
+    assert_states_equal(st_o, st_e)
+
+
+def test_engine_matches_oracle_cov_cutoff_1(toy_dir):
+    # cov_cut_off == 1.0 disables the quantile cutoffs (slimm.hpp:330, 674)
+    st_o, st_e = run_both(toy_dir, options=ProfileOptions(cov_cut_off=1.0))
+    assert_states_equal(st_o, st_e)
+
+
+def test_engine_matches_oracle_genus_rank(toy_dir):
+    st_o, st_e = run_both(toy_dir, options=ProfileOptions(rank="genus"))
+    assert_states_equal(st_o, st_e)
+
+
+def test_engine_matches_oracle_duplicate_heavy(toy_dir):
+    # adversarial: many same-read same-contig repeats in scrambled order
+    rng = np.random.default_rng(5)
+    records = []
+    for k in range(200):
+        rid = int(rng.integers(0, 5))
+        for rep in range(int(rng.integers(1, 5))):
+            pos = int(rng.integers(0, 3000))
+            records.append((f"r{k % 37}", 0, rid, pos, 100))
+    st_o, st_e = run_both(toy_dir, records=records)
+    assert_states_equal(st_o, st_e)
+
+
+def test_engine_matches_oracle_no_multimaps(toy_dir):
+    records = [(f"r{k}", 0, k % 5, 50 * k % 3000, 100) for k in range(300)]
+    st_o, st_e = run_both(toy_dir, records=records)
+    assert_states_equal(st_o, st_e)

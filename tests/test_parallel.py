@@ -1,0 +1,50 @@
+"""Shard-count invariance: N-shard runs are bit-equal to the 1-shard run
+(integer histograms merge exactly via psum), and both equal the oracle."""
+
+import copy
+
+import numpy as np
+import pytest
+
+import jax
+
+from slimm_tpu.config import EngineOptions, ProfileOptions
+from slimm_tpu.engine import profile_file
+from slimm_tpu.parallel import ShardedRunner, make_mesh
+
+from tests.test_engine import assert_states_equal, run_both
+from tests.toy import build_toy_db, build_toy_dataset
+
+
+def run_sharded(toy_dir, num_shards):
+    db = copy.deepcopy(build_toy_db(toy_dir))
+    runner = ShardedRunner(num_shards=num_shards)
+    return profile_file(ProfileOptions(), db, toy_dir.sam_path,
+                        engine=EngineOptions(phase_log=False),
+                        sharded_runner=runner)
+
+
+@pytest.mark.parametrize("num_shards", [1, 2, 4, 8])
+def test_sharded_matches_oracle(toy_dir, num_shards):
+    st_o, _ = run_both(toy_dir)
+    st_s = run_sharded(toy_dir, num_shards)
+    assert_states_equal(st_o, st_s)
+
+
+def test_sharded_large_random(tmp_path):
+    ds = build_toy_dataset(str(tmp_path), n_extra=3000, seed=77)
+    st_o, _ = run_both(ds)
+    db = copy.deepcopy(build_toy_db(ds))
+    st_s = profile_file(ProfileOptions(), db, ds.sam_path,
+                        engine=EngineOptions(phase_log=False),
+                        sharded_runner=ShardedRunner(num_shards=8))
+    assert_states_equal(st_o, st_s)
+
+
+def test_mesh_construction():
+    mesh = make_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    mesh2 = make_mesh(2)
+    assert mesh2.devices.size == 2
+    with pytest.raises(ValueError):
+        make_mesh(10**6)
