@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Benchmark: alignment records/sec/chip through coverage + LCA.
+
+Runs the device pipeline (pass A → host cutoffs → pass B) on a synthetic
+metagenomic workload and compares against the single-core C++ baseline
+(native/slimm_native.cpp stpu_baseline_profile — a faithful implementation
+of the reference's hash-map hot loops on the same pre-decoded arrays).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Driver target (BASELINE.md): >=10x reads/s per chip vs single-core C++.
+
+Env knobs: SLIMM_BENCH_RECORDS (default 2_000_000), SLIMM_BENCH_CONTIGS (50),
+SLIMM_BENCH_REPS (5).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def make_workload(n_records, n_contigs, seed=0):
+    """Synthetic alignments: ~90% unique reads, ~10% multi-mapped (2-3 hits),
+    contig lengths 0.5-2 Mbp, read length 150."""
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(500_000, 2_000_000, n_contigs).astype(np.uint32)
+    avg_read_len = 150
+    # reads: draw a contig per read (abundance-skewed), multi-maps hit a
+    # random partner contig
+    n_reads_target = int(n_records / 1.15)
+    weights = rng.dirichlet(np.ones(n_contigs) * 0.3)
+    read_contig = rng.choice(n_contigs, n_reads_target, p=weights)
+    multi = rng.random(n_reads_target) < 0.10
+    extra_counts = np.where(multi, rng.integers(1, 3, n_reads_target), 0)
+
+    rows = [np.stack([np.arange(n_reads_target, dtype=np.int64), read_contig],
+                     axis=1)]
+    for k in range(2):
+        sel = np.flatnonzero(extra_counts > k)
+        partner = rng.integers(0, n_contigs, len(sel))
+        rows.append(np.stack([sel, partner], axis=1))
+    pairs = np.concatenate(rows)
+    order = np.argsort(pairs[:, 0], kind="stable")  # records grouped per read
+    pairs = pairs[order]
+    read_id = pairs[:, 0].astype(np.int32)
+    rid = pairs[:, 1].astype(np.int32)
+    pos = (rng.random(len(rid))
+           * (lengths[rid] - avg_read_len)).astype(np.int32)
+    n_reads = n_reads_target
+    # decoder-contract targets: dedup per (read, contig), first hit wins
+    _, first = np.unique(read_id.astype(np.int64) * n_contigs + rid,
+                         return_index=True)
+    first.sort()
+    t_read, t_rid, t_pos = read_id[first], rid[first], pos[first]
+    lineage = np.zeros((n_contigs, 8), np.int32)
+    # dense taxonomy: species-ish groups of 5 contigs sharing upper ranks
+    base = 1
+    for c in range(n_contigs):
+        lineage[c, 0] = base + c
+        for lvl in range(1, 8):
+            lineage[c, lvl] = base + n_contigs + (c // (5 * lvl)) + 1000 * lvl
+    n_dense = int(lineage.max()) + 1
+    return dict(read_id=read_id, rid=rid, pos=pos,        # raw records
+                t_read=t_read, t_rid=t_rid, t_pos=t_pos,  # dedup'd targets
+                n_reads=n_reads, lengths=lengths, lineage=lineage,
+                n_dense=n_dense, avg_read_len=avg_read_len)
+
+
+def bench_device(w, reps):
+    import jax
+    import jax.numpy as jnp
+
+    from slimm_tpu.engine.pipeline import _bucket, pass_a, pass_b
+    from slimm_tpu.state import ProfileState, quantile_cut_off
+
+    n_contigs = len(w["lengths"])
+    bin_width = np.int32(w["avg_read_len"])
+    nbins = w["lengths"] // np.uint32(bin_width) + 1
+    bin_offset = np.concatenate([[0], np.cumsum(nbins)[:-1]]).astype(np.int32)
+    total_bins = int(nbins.sum())
+    contig_of_bin = np.repeat(np.arange(n_contigs, dtype=np.int32),
+                              nbins.astype(np.int64))
+
+    n_pad = _bucket(len(w["t_read"]))
+    r_pad = _bucket(w["n_reads"])
+    read_id = np.full(n_pad, -1, np.int32)
+    read_id[:len(w["t_read"])] = w["t_read"]
+    rid = np.zeros(n_pad, np.int32)
+    rid[:len(w["t_rid"])] = w["t_rid"]
+    pos = np.zeros(n_pad, np.int32)
+    pos[:len(w["t_pos"])] = w["t_pos"]
+
+    d_read = jnp.asarray(read_id)
+    d_rid = jnp.asarray(rid)
+    d_pos = jnp.asarray(pos)
+    d_len = jnp.asarray(w["lengths"])
+    d_off = jnp.asarray(bin_offset)
+    d_cob = jnp.asarray(contig_of_bin)
+    d_lineage = jnp.asarray(w["lineage"])
+    half = np.int32(w["avg_read_len"] // 2)
+
+    def step():
+        a = pass_a(d_read, d_rid, d_pos, d_len, d_off, d_cob, half, bin_width,
+                   n_contigs=n_contigs, total_bins=total_bins, n_reads_pad=r_pad)
+        # host: quantile cutoffs on the small per-contig stats
+        nz_cov = np.asarray(a["nz_cov"])
+        nz_uniq = np.asarray(a["nz_uniq"])
+        urc = np.asarray(a["uniq_reads_count"])
+        rc = np.asarray(a["reads_count"])
+        covp = nz_cov.astype(np.float32) / nbins.astype(np.float32)
+        ucovp = nz_uniq.astype(np.float32) / nbins.astype(np.float32)
+        cc = quantile_cut_off(covp[urc > 0], 0.95)
+        ucc = quantile_cut_off(ucovp[urc > 0], 0.95)
+        valid = (rc > 0) & (covp >= cc) & (ucovp >= ucc)
+        b = pass_b(a["t_read"], a["t_rid"], a["t_gbin"], a["t_valid"],
+                   jnp.asarray(valid), d_lineage, n_contigs=n_contigs,
+                   total_bins=total_bins, n_reads_pad=r_pad,
+                   n_dense=w["n_dense"])
+        jax.block_until_ready((b["taxon_counts"], b["uniq_reads_count2"]))
+        return b
+
+    step()  # warmup/compile
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        step()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def bench_baseline(w, reps):
+    from slimm_tpu.io import native
+
+    times = []
+    for _ in range(max(1, reps // 2)):
+        secs, counters = native.baseline_profile(
+            w["read_id"], w["rid"], w["pos"], w["n_reads"], w["lengths"],
+            w["lineage"], w["avg_read_len"], w["avg_read_len"])
+        times.append(secs)
+    return float(np.median(times)), counters
+
+
+def main():
+    n_records = int(os.environ.get("SLIMM_BENCH_RECORDS", 2_000_000))
+    n_contigs = int(os.environ.get("SLIMM_BENCH_CONTIGS", 50))
+    reps = int(os.environ.get("SLIMM_BENCH_REPS", 5))
+
+    w = make_workload(n_records, n_contigs)
+    n = len(w["read_id"])
+
+    from slimm_tpu.io import native as native_mod
+    if not native_mod.available():
+        from slimm_tpu.io.native_build import build
+        build(verbose=False)
+
+    base_secs, counters = bench_baseline(w, reps)
+    dev_secs = bench_device(w, reps)
+    # charge the host C++ first-hit dedup stage to the pipeline (the
+    # baseline's hash-map dedup is inside its own timing); warm run —
+    # first call pays one-time page faults on the fresh table
+    dedup_secs = min(
+        native_mod.dedup_targets(w["read_id"], w["rid"], w["pos"])[1]
+        for _ in range(3))
+    pipe_secs = dev_secs + dedup_secs
+
+    dev_rps = n / pipe_secs
+    base_rps = n / base_secs
+    result = {
+        "metric": "alignment records/sec/chip through coverage+LCA",
+        "value": round(dev_rps),
+        "unit": "records/s",
+        "vs_baseline": round(dev_rps / base_rps, 2),
+        "baseline_records_per_s_cpp_1core": round(base_rps),
+        "records": n,
+        "device_secs": round(dev_secs, 4),
+        "dedup_secs": round(dedup_secs, 4),
+        "baseline_secs": round(base_secs, 4),
+        "backend": _backend_name(),
+    }
+    print(json.dumps(result))
+
+
+def _backend_name():
+    try:
+        import jax
+        return f"{jax.default_backend()}:{jax.devices()[0].device_kind}"
+    except Exception:
+        return "unknown"
+
+
+if __name__ == "__main__":
+    main()

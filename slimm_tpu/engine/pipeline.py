@@ -1,31 +1,37 @@
 """The TPU device pipeline: dense-tensor re-formulation of the profiler.
 
-The reference's two hash-map hot loops (slimm.hpp:191-303 per-record binning
-+ per-read scatter, slimm.hpp:533-611 per-read LCA) become two jitted array
-passes over fixed-shape record tensors:
+Division of labor (TPU-first design):
+  * The decoder (native C++ or Python fallback, slimm_tpu/io) interns read
+    names and applies the first-hit-wins (read, contig) dedup of
+    read_stat::add_target (reference read_stat.hpp:116-135) while streaming
+    the file — it already owns the read-name hash map, so dedup is a free
+    O(1) set probe per record.  It emits dense TARGET arrays
+    (read_id, rid, pos): one entry per distinct (read, contig).
+  * The device runs everything per-target/per-bin as scatter-adds, segment
+    reductions and gathers — no device-side sort anywhere (XLA TPU sorts
+    compile catastrophically slowly at millions of elements on current
+    toolchains and are unnecessary here).
 
-  pass A  (records → coverage):
+  pass A  (targets → coverage):
     bin = min(pos + avg_len/2, length[rid]) / bin_width   (slimm.hpp:200-201)
-    stable sort by (read, contig) → first-occurrence mask   == the
-      first-hit-wins dedup of read_stat::add_target (read_stat.hpp:116-135)
-    scatter-add histograms (global flat bin axis), segment reductions for
-      per-contig and per-read counts
+    per-read target counts → uniqueness; per-contig counters; coverage
+    histograms over the flat global bin axis (slimm.hpp:219-256)
 
   pass B  (targets + validity mask → LCA):
     re-mask targets by valid contigs (read_stat::update, slimm.hpp:380-390)
-    per-read per-level segment min/max over the dense lineage matrix;
-      the first level where min == max is the LCA level, and the value is
-      lineage[max_rid][level] — exactly the reference's "last inserted wins"
-      (std::set iterates ascending, slimm.hpp:516-531)
+    per-read per-level segment min/max over the dense lineage matrix; the
+    first level where min == max is the LCA level, and the value is
+    lineage[max_rid][level] — exactly the reference's "last inserted wins"
+    (std::set iterates ascending, slimm.hpp:516-531)
     scatter-add LCA counts over the dense taxid axis; (lca, contig) pairs
-      out for the children sets
+    out for the children sets
 
 The `_pass_a_local` / `_pass_b_local` cores are shared between the
 single-device jits below and the shard_map data-parallel runner
 (slimm_tpu.parallel.runner): all merged quantities are integer counts, so
-multi-shard psum merges are exact and shard-count invisible.
+multi-shard psum merges are exact and shard count is invisible.
 
-Static shapes: record and read axes are padded to bucket sizes so jit
+Static shapes: target and read axes are padded to bucket sizes so jit
 caches compilations across files/batches.
 """
 
@@ -45,8 +51,6 @@ from ..database import DenseTaxonomy, SlimmDatabase, tensorize
 from ..state import ProfileState
 from ..utils.timer import PhaseTimer
 
-I32_MAX = np.int32(2**31 - 1)
-
 
 def _bucket(n: int, quantum: int = 8192) -> int:
     """Round up to a padding bucket (limits jit recompiles across files)."""
@@ -63,54 +67,44 @@ def _bucket(n: int, quantum: int = 8192) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _pass_a_local(read_id, rid, pos, lengths_u32, bin_offset,
+def _pass_a_local(t_read, t_rid, t_pos, lengths_u32, bin_offset,
                   half, bin_width, *, n_contigs, total_bins, n_reads_pad):
-    """Records → dedup'd sorted targets + local histograms/counters."""
-    valid = read_id >= 0
+    """Dedup'd targets → per-read/per-contig counters + coverage histograms.
+
+    t_read/t_rid/t_pos are int32[N_pad] target arrays padded with
+    t_read == -1; one entry per distinct (read, contig), first hit's pos.
+    """
+    valid = t_read >= 0
+    rid_c = jnp.clip(t_rid, 0, n_contigs - 1)
     # center-position binning with uint32 wrap semantics (slimm.hpp:200-201)
-    center = jnp.minimum(pos.astype(jnp.uint32) + half.astype(jnp.uint32),
-                         lengths_u32[jnp.clip(rid, 0, n_contigs - 1)])
+    center = jnp.minimum(t_pos.astype(jnp.uint32) + half.astype(jnp.uint32),
+                         lengths_u32[rid_c])
     local_bin = (center // bin_width.astype(jnp.uint32)).astype(jnp.int32)
-    gbin = bin_offset[jnp.clip(rid, 0, n_contigs - 1)] + local_bin
-
-    # stable sort by (read, contig); padding sorts last
-    skey_read = jnp.where(valid, read_id, I32_MAX)
-    skey_rid = jnp.where(valid, rid, I32_MAX)
-    order = jnp.lexsort((skey_rid, skey_read))
-    s_read = skey_read[order]
-    s_rid = skey_rid[order]
-    s_gbin = gbin[order]
-    s_valid = valid[order]
-
-    # first-occurrence mask == first-hit-wins dedup (read_stat.hpp:116-135);
-    # lexsort stability keeps record order within equal (read, contig) groups
-    prev_read = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_read[:-1]])
-    prev_rid = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_rid[:-1]])
-    is_first = s_valid & ((s_read != prev_read) | (s_rid != prev_rid))
+    t_gbin = bin_offset[rid_c] + local_bin
 
     # per-read target counts; padding goes to segment n_reads_pad
-    seg = jnp.where(s_valid, s_read, n_reads_pad)
-    n_targets = jax.ops.segment_sum(is_first.astype(jnp.int32), seg,
+    seg = jnp.where(valid, t_read, n_reads_pad)
+    n_targets = jax.ops.segment_sum(valid.astype(jnp.int32), seg,
                                     num_segments=n_reads_pad + 1)[:-1]
     read_is_uniq = n_targets == 1
-    t_uniq = is_first & read_is_uniq[jnp.clip(s_read, 0, n_reads_pad - 1)]
+    t_uniq = valid & read_is_uniq[jnp.clip(t_read, 0, n_reads_pad - 1)]
 
     # per-contig counters (slimm.hpp:219-256)
-    seg_rid = jnp.where(is_first, s_rid, n_contigs)
-    reads_count = jax.ops.segment_sum(is_first.astype(jnp.int32), seg_rid,
+    seg_rid = jnp.where(valid, t_rid, n_contigs)
+    reads_count = jax.ops.segment_sum(valid.astype(jnp.int32), seg_rid,
                                       num_segments=n_contigs + 1)[:-1]
     uniq_reads_count = jax.ops.segment_sum(t_uniq.astype(jnp.int32), seg_rid,
                                            num_segments=n_contigs + 1)[:-1]
 
     # coverage histograms over the flat global bin axis
-    hist_idx = jnp.where(is_first, s_gbin, total_bins)
+    hist_idx = jnp.where(valid, t_gbin, total_bins)
     cov = jnp.zeros(total_bins, jnp.int32).at[hist_idx].add(
-        is_first.astype(jnp.int32), mode="drop")
+        valid.astype(jnp.int32), mode="drop")
     uniq_cov = jnp.zeros(total_bins, jnp.int32).at[hist_idx].add(
         t_uniq.astype(jnp.int32), mode="drop")
 
     uniq_matches = jnp.sum(read_is_uniq.astype(jnp.int32))
-    return dict(s_read=s_read, s_rid=s_rid, s_gbin=s_gbin, is_first=is_first,
+    return dict(t_read=t_read, t_rid=t_rid, t_gbin=t_gbin, t_valid=valid,
                 cov=cov, uniq_cov=uniq_cov, reads_count=reads_count,
                 uniq_reads_count=uniq_reads_count, uniq_matches=uniq_matches)
 
@@ -121,26 +115,26 @@ def _nz_counts(cov, contig_of_bin, n_contigs):
                                num_segments=n_contigs)
 
 
-def _pass_b_local(s_read, s_rid, s_gbin, is_first, valid_mask, lineage,
+def _pass_b_local(t_read, t_rid, t_gbin, t_valid, valid_mask, lineage,
                   *, n_contigs, total_bins, n_reads_pad, n_dense):
     """Filtered re-dedup + vectorized LCA (slimm.hpp:351-392, 516-557)."""
-    rid_c = jnp.clip(s_rid, 0, n_contigs - 1)
-    tmask = is_first & valid_mask[rid_c]
+    rid_c = jnp.clip(t_rid, 0, n_contigs - 1)
+    tmask = t_valid & valid_mask[rid_c]
 
-    seg = jnp.where(tmask, s_read, n_reads_pad)
+    seg = jnp.where(tmask, t_read, n_reads_pad)
     n_valid = jax.ops.segment_sum(tmask.astype(jnp.int32), seg,
                                   num_segments=n_reads_pad + 1)[:-1]
     read_u2 = n_valid == 1
     read_multi = n_valid > 1
-    sread_c = jnp.clip(s_read, 0, n_reads_pad - 1)
-    t_u2 = tmask & read_u2[sread_c]
-    t_multi = tmask & read_multi[sread_c]
+    tread_c = jnp.clip(t_read, 0, n_reads_pad - 1)
+    t_u2 = tmask & read_u2[tread_c]
+    t_multi = tmask & read_multi[tread_c]
 
     # newly-unique reads (slimm.hpp:383-390)
-    seg_rid = jnp.where(t_u2, s_rid, n_contigs)
+    seg_rid = jnp.where(t_u2, t_rid, n_contigs)
     uniq_reads_count2 = jax.ops.segment_sum(t_u2.astype(jnp.int32), seg_rid,
                                             num_segments=n_contigs + 1)[:-1]
-    hist_idx = jnp.where(t_u2, s_gbin, total_bins)
+    hist_idx = jnp.where(t_u2, t_gbin, total_bins)
     uniq_cov2 = jnp.zeros(total_bins, jnp.int32).at[hist_idx].add(
         t_u2.astype(jnp.int32), mode="drop")
 
@@ -149,7 +143,7 @@ def _pass_b_local(s_read, s_rid, s_gbin, is_first, valid_mask, lineage,
     big = jnp.int32(n_dense)
     lv_min = jnp.where(t_multi[:, None], lv, big)
     lv_max = jnp.where(t_multi[:, None], lv, -1)
-    seg_l = jnp.where(t_multi, s_read, n_reads_pad)
+    seg_l = jnp.where(t_multi, t_read, n_reads_pad)
     per_read_min = jax.ops.segment_min(lv_min, seg_l,
                                        num_segments=n_reads_pad + 1)[:-1]
     per_read_max = jax.ops.segment_max(lv_max, seg_l,
@@ -157,7 +151,7 @@ def _pass_b_local(s_read, s_rid, s_gbin, is_first, valid_mask, lineage,
     eq = (per_read_min == per_read_max) & read_multi[:, None]   # (R, 8)
     has_agree = eq.any(axis=1)
     first_level = jnp.where(has_agree, jnp.argmax(eq, axis=1), 7)
-    max_rid = jax.ops.segment_max(jnp.where(t_multi, s_rid, -1), seg_l,
+    max_rid = jax.ops.segment_max(jnp.where(t_multi, t_rid, -1), seg_l,
                                   num_segments=n_reads_pad + 1)[:-1]
     # lineage[max_rid][first agreeing level (or 7)] — slimm.hpp:516-531
     lca = lineage[jnp.clip(max_rid, 0, n_contigs - 1), first_level]
@@ -167,8 +161,8 @@ def _pass_b_local(s_read, s_rid, s_gbin, is_first, valid_mask, lineage,
             read_multi.astype(jnp.int32), mode="drop")
 
     # (lca, contig) pairs for children sets; -1 marks padding
-    pair_lca = jnp.where(t_multi, lca[sread_c], -1)
-    pair_rid = jnp.where(t_multi, s_rid, -1)
+    pair_lca = jnp.where(t_multi, lca[tread_c], -1)
+    pair_rid = jnp.where(t_multi, t_rid, -1)
 
     uniq_matches2 = jnp.sum(read_u2.astype(jnp.int32))
     return dict(uniq_reads_count2=uniq_reads_count2, uniq_cov2=uniq_cov2,
@@ -182,9 +176,9 @@ def _pass_b_local(s_read, s_rid, s_gbin, is_first, valid_mask, lineage,
 
 
 @partial(jax.jit, static_argnames=("n_contigs", "total_bins", "n_reads_pad"))
-def pass_a(read_id, rid, pos, lengths_u32, bin_offset, contig_of_bin,
+def pass_a(t_read, t_rid, t_pos, lengths_u32, bin_offset, contig_of_bin,
            half, bin_width, *, n_contigs, total_bins, n_reads_pad):
-    out = _pass_a_local(read_id, rid, pos, lengths_u32, bin_offset,
+    out = _pass_a_local(t_read, t_rid, t_pos, lengths_u32, bin_offset,
                         half, bin_width, n_contigs=n_contigs,
                         total_bins=total_bins, n_reads_pad=n_reads_pad)
     out["nz_cov"] = _nz_counts(out["cov"], contig_of_bin, n_contigs)
@@ -194,9 +188,9 @@ def pass_a(read_id, rid, pos, lengths_u32, bin_offset, contig_of_bin,
 
 @partial(jax.jit,
          static_argnames=("n_contigs", "total_bins", "n_reads_pad", "n_dense"))
-def pass_b(s_read, s_rid, s_gbin, is_first, valid_mask, lineage,
+def pass_b(t_read, t_rid, t_gbin, t_valid, valid_mask, lineage,
            *, n_contigs, total_bins, n_reads_pad, n_dense):
-    return _pass_b_local(s_read, s_rid, s_gbin, is_first, valid_mask, lineage,
+    return _pass_b_local(t_read, t_rid, t_gbin, t_valid, valid_mask, lineage,
                          n_contigs=n_contigs, total_bins=total_bins,
                          n_reads_pad=n_reads_pad, n_dense=n_dense)
 
@@ -218,12 +212,14 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
                    avg_read_length: int,
                    engine: EngineOptions | None = None,
                    sharded_runner=None) -> ProfileState:
-    """Profile pre-decoded record arrays (the device path).
+    """Profile pre-decoded, dedup'd target arrays (the device path).
 
-    Fills the same ProfileState as the scalar oracle; report generation and
-    propagation are shared (slimm_tpu.state).  `sharded_runner`, when given,
-    runs pass A/B data-parallel over a device mesh (slimm_tpu.parallel) with
-    exact integer psum merges.
+    read_id/rid/pos: one entry per distinct (read, contig) with the first
+    hit's position (decoder contract).  Fills the same ProfileState as the
+    scalar oracle; report generation and propagation are shared
+    (slimm_tpu.state).  `sharded_runner`, when given, runs pass A/B
+    data-parallel over a device mesh (slimm_tpu.parallel) with exact
+    integer psum merges.
     """
     engine = engine or EngineOptions()
     timer = PhaseTimer(enabled=engine.phase_log)
@@ -282,6 +278,8 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
     st.uniq_reads_count = np.asarray(a["uniq_reads_count"]).astype(np.int64)
     st.uniq_matches_count = int(a["uniq_matches"])
     st.uniq_hits_count = st.uniq_matches_count  # identical by construction
+    st._nz_cache["cov"] = np.asarray(a["nz_cov"]).astype(np.int64)
+    st._nz_cache["uniq_cov"] = np.asarray(a["nz_uniq"]).astype(np.int64)
     st.compute_abundances()
     timer.lap()
 
@@ -298,7 +296,7 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
             a, np.asarray(valid), dense.lineage, n_contigs=n_contigs,
             total_bins=total_bins, n_dense=dense.n_dense)
     else:
-        b = pass_b(a["s_read"], a["s_rid"], a["s_gbin"], a["is_first"],
+        b = pass_b(a["t_read"], a["t_rid"], a["t_gbin"], a["t_valid"],
                    jnp.asarray(valid), jnp.asarray(dense.lineage),
                    n_contigs=n_contigs, total_bins=total_bins,
                    n_reads_pad=r_pad, n_dense=dense.n_dense)
@@ -326,14 +324,24 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
     return st
 
 
+def open_alignment_file(path: str, engine: EngineOptions | None = None):
+    """Native C++ decoder when built (slimm_tpu/io/native.py), else the
+    pure-Python reference decoder — identical array contract."""
+    engine = engine or EngineOptions()
+    if engine.use_native:
+        from ..io import native
+        if native.available():
+            return native.NativeAlignmentFile(path)
+    from ..io import AlignmentFile
+    return AlignmentFile(path)
+
+
 def profile_file(options: ProfileOptions, db: SlimmDatabase, path: str,
                  engine: EngineOptions | None = None,
                  sharded_runner=None) -> ProfileState:
     """Decode one SAM/BAM file and profile it on device."""
-    from ..io import AlignmentFile
-
     engine = engine or EngineOptions()
-    af = AlignmentFile(path)
+    af = open_alignment_file(path, engine)
     batch = af.load()
     return profile_arrays(
         options, db, af.contig_names, af.contig_lengths,

@@ -1,0 +1,158 @@
+"""ctypes bindings to the native C++ decoder/baseline
+(native/slimm_native.cpp).  Builds on demand via `python -m
+slimm_tpu.io.native_build` (or make -C native)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                         "native", "libslimm_native.so")
+_lib = None
+
+
+def available() -> bool:
+    return os.path.exists(_LIB_PATH)
+
+
+def load_library():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not available():
+        raise OSError(
+            f"native library not built at {_LIB_PATH}; run "
+            "`python -m slimm_tpu.io.native_build`")
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.stpu_open.restype = ctypes.c_void_p
+    lib.stpu_open.argtypes = [ctypes.c_char_p]
+    lib.stpu_error.restype = ctypes.c_char_p
+    lib.stpu_error.argtypes = [ctypes.c_void_p]
+    for fn in ("stpu_n_refs", "stpu_hits", "stpu_n_targets", "stpu_n_reads",
+               "stpu_avg_read_len"):
+        getattr(lib, fn).restype = ctypes.c_int64
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.stpu_ref_name.restype = ctypes.c_char_p
+    lib.stpu_ref_name.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.stpu_ref_len.restype = ctypes.c_int64
+    lib.stpu_ref_len.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.stpu_fill.restype = None
+    lib.stpu_fill.argtypes = [ctypes.c_void_p] + [
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")] * 3
+    lib.stpu_close.restype = None
+    lib.stpu_close.argtypes = [ctypes.c_void_p]
+    lib.stpu_dedup_targets.restype = ctypes.c_int64
+    lib.stpu_dedup_targets.argtypes = [
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.stpu_baseline_profile.restype = ctypes.c_double
+    lib.stpu_baseline_profile.argtypes = [
+        ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int32,
+        np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_float,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+    ]
+    _lib = lib
+    return lib
+
+
+class NativeAlignmentFile:
+    """Native decoder with the same contract as io.sam.AlignmentFile."""
+
+    def __init__(self, path: str):
+        lib = load_library()
+        self._lib = lib
+        self.path = path
+        self._h = lib.stpu_open(path.encode())
+        err = lib.stpu_error(self._h).decode()
+        if err == "cannot open file":
+            lib.stpu_close(self._h)
+            self._h = None
+            raise FileNotFoundError(f"Could not open {path}!")
+        n_refs = lib.stpu_n_refs(self._h)
+        self.contig_names = [lib.stpu_ref_name(self._h, i).decode()
+                             for i in range(n_refs)]
+        self.contig_lengths = np.asarray(
+            [lib.stpu_ref_len(self._h, i) for i in range(n_refs)], np.int64)
+
+    def load(self):
+        from .sam import RecordBatch
+
+        lib = self._lib
+        err = lib.stpu_error(self._h).decode()
+        if err == "no records with sequences":
+            raise ZeroDivisionError("no records with sequences (misc.hpp:521)")
+        if err:
+            raise ValueError(f"{self.path}: {err}")
+        n_targets = lib.stpu_n_targets(self._h)
+        read_id = np.empty(n_targets, np.int32)
+        rid = np.empty(n_targets, np.int32)
+        pos = np.empty(n_targets, np.int32)
+        lib.stpu_fill(self._h, read_id, rid, pos)
+        return RecordBatch(
+            read_id=read_id.astype(np.int64), rid=rid, pos=pos,
+            n_reads=int(lib.stpu_n_reads(self._h)),
+            hits_count=int(lib.stpu_hits(self._h)),
+            avg_read_length=int(lib.stpu_avg_read_len(self._h)))
+
+    def close(self):
+        if self._h is not None:
+            self._lib.stpu_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def dedup_targets(read_id, rid, pos):
+    """First-hit (read, contig) dedup in C++; returns (targets, seconds)."""
+    lib = load_library()
+    read_id = np.ascontiguousarray(read_id, np.int32)
+    rid = np.ascontiguousarray(rid, np.int32)
+    pos = np.ascontiguousarray(pos, np.int32)
+    n = len(read_id)
+    out_read = np.empty(n, np.int32)
+    out_rid = np.empty(n, np.int32)
+    out_pos = np.empty(n, np.int32)
+    secs = ctypes.c_double()
+    kept = lib.stpu_dedup_targets(n, read_id, rid, pos, out_read, out_rid,
+                                  out_pos, ctypes.byref(secs))
+    return (out_read[:kept], out_rid[:kept], out_pos[:kept]), secs.value
+
+
+def baseline_profile(read_id, rid, pos, n_reads, lengths, lineage,
+                     avg_read_len, bin_width, cov_cut_off=0.95):
+    """Run the single-core C++ baseline; returns (seconds, counters dict)."""
+    lib = load_library()
+    out = np.zeros(8, np.int64)
+    read_id = np.ascontiguousarray(read_id, np.int32)
+    rid = np.ascontiguousarray(rid, np.int32)
+    pos = np.ascontiguousarray(pos, np.int32)
+    lengths = np.ascontiguousarray(lengths, np.uint32)
+    lineage = np.ascontiguousarray(lineage, np.int32)
+    secs = lib.stpu_baseline_profile(
+        len(read_id), read_id, rid, pos, int(n_reads),
+        np.int32(len(lengths)), lengths, lineage,
+        np.uint32(avg_read_len), np.uint32(bin_width),
+        np.float32(cov_cut_off), out)
+    keys = ("hits", "matches", "uniq_matches", "uniq_matches2",
+            "n_valid_refs", "lca_total", "cov_mass", "uniq_cov2_mass")
+    return secs, dict(zip(keys, out.tolist()))

@@ -30,18 +30,22 @@ AVG_LEN_SAMPLE = 100000  # reference samples <=100k records (slimm.hpp:409)
 
 @dataclass
 class RecordBatch:
-    """Mapped alignment records of one file as dense arrays.
+    """Dedup'd alignment targets of one file as dense arrays.
 
-    read_id: int64 per-record read index (dictionary order = first appearance)
+    One entry per distinct (read, contig) pair holding the FIRST hit's
+    position — the read_stat::add_target first-hit-wins dedup
+    (read_stat.hpp:116-135) applied during decode.
+
+    read_id: int64 read index (dictionary order = first appearance)
     rid:     int32 contig index from the header
-    pos:     int32 0-based leftmost mapping position
+    pos:     int32 0-based leftmost mapping position of the first hit
     """
 
     read_id: np.ndarray
     rid: np.ndarray
     pos: np.ndarray
     n_reads: int           # distinct read keys == matches_count
-    hits_count: int        # mapped records == hits_count
+    hits_count: int        # ALL mapped records (incl. dropped duplicates)
     avg_read_length: int   # two-pass sampling semantics (misc.hpp:509-522)
     read_keys: list | None = None  # optional (debug/tests)
 
@@ -151,9 +155,11 @@ class AlignmentFile:
         """
         total_len = 0
         n_sampled = 0
+        hits = 0
         read_ids, rids, poss = [], [], []
         key_to_id: dict[str, int] = {}
         keys: list[str] = []
+        seen: set[tuple[int, int]] = set()
         for qname, flag, rid, pos, seq_len in self._records:
             if n_sampled < AVG_LEN_SAMPLE and seq_len > 0:
                 total_len += seq_len
@@ -171,9 +177,13 @@ class AlignmentFile:
                 idx = len(key_to_id)
                 key_to_id[key] = idx
                 keys.append(key)
-            read_ids.append(idx)
-            rids.append(rid)
-            poss.append(pos)
+            hits += 1
+            pair = (idx, rid)
+            if pair not in seen:   # first hit wins (read_stat.hpp:116-135)
+                seen.add(pair)
+                read_ids.append(idx)
+                rids.append(rid)
+                poss.append(pos)
         if n_sampled == 0:
             raise ZeroDivisionError("no records with sequences (misc.hpp:521)")
         return RecordBatch(
@@ -181,6 +191,6 @@ class AlignmentFile:
             rid=np.asarray(rids, np.int32),
             pos=np.asarray(poss, np.int32),
             n_reads=len(key_to_id),
-            hits_count=len(read_ids),
+            hits_count=hits,
             avg_read_length=total_len // n_sampled,
             read_keys=keys)

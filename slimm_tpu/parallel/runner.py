@@ -83,8 +83,8 @@ class ShardedRunner:
             nz_uniq = _nz_counts(uniq_cov, contig_of_bin, n_contigs)
             return (cov, uniq_cov, reads_count, uniq_reads_count,
                     uniq_matches, nz_cov, nz_uniq,
-                    local["s_read"][None], local["s_rid"][None],
-                    local["s_gbin"][None], local["is_first"][None])
+                    local["t_read"][None], local["t_rid"][None],
+                    local["t_gbin"][None], local["t_valid"][None])
 
         mapped = jax.shard_map(
             shard_fn, mesh=mesh,
@@ -101,8 +101,8 @@ class ShardedRunner:
             return fn
         mesh = self.mesh
 
-        def shard_fn(s_read, s_rid, s_gbin, is_first, valid_mask, lineage):
-            local = _pass_b_local(s_read[0], s_rid[0], s_gbin[0], is_first[0],
+        def shard_fn(t_read, t_rid, t_gbin, t_valid, valid_mask, lineage):
+            local = _pass_b_local(t_read[0], t_rid[0], t_gbin[0], t_valid[0],
                                   valid_mask, lineage, n_contigs=n_contigs,
                                   total_bins=total_bins, n_reads_pad=r_pad,
                                   n_dense=n_dense)
@@ -130,22 +130,22 @@ class ShardedRunner:
         r_pad = _bucket(-(-max(n_reads, 1) // S), 1024)
         fn = self._get_pass_a(n_s, r_pad, n_contigs, total_bins)
         (cov, uniq_cov, reads_count, uniq_reads_count, uniq_matches,
-         nz_cov, nz_uniq, s_read, s_rid, s_gbin, is_first) = fn(
+         nz_cov, nz_uniq, t_read, t_rid, t_gbin, t_valid) = fn(
             read2d, rid2d, pos2d, jnp.asarray(lengths_u32),
             jnp.asarray(bin_offset), jnp.asarray(contig_of_bin),
             jnp.asarray(half), jnp.asarray(bin_width))
         return dict(cov=cov, uniq_cov=uniq_cov, reads_count=reads_count,
                     uniq_reads_count=uniq_reads_count,
                     uniq_matches=uniq_matches, nz_cov=nz_cov, nz_uniq=nz_uniq,
-                    s_read=s_read, s_rid=s_rid, s_gbin=s_gbin,
-                    is_first=is_first, _n_s=n_s, _r_pad=r_pad)
+                    t_read=t_read, t_rid=t_rid, t_gbin=t_gbin,
+                    t_valid=t_valid, _n_s=n_s, _r_pad=r_pad)
 
     def pass_b(self, a, valid_mask, lineage, *, n_contigs, total_bins, n_dense):
         fn = self._get_pass_b(a["_n_s"], a["_r_pad"], n_contigs, total_bins,
                               n_dense)
         (uniq_reads_count2, uniq_cov2, taxon_counts, uniq_matches2,
          pair_lca, pair_rid) = fn(
-            a["s_read"], a["s_rid"], a["s_gbin"], a["is_first"],
+            a["t_read"], a["t_rid"], a["t_gbin"], a["t_valid"],
             jnp.asarray(valid_mask), jnp.asarray(lineage))
         return dict(uniq_reads_count2=uniq_reads_count2, uniq_cov2=uniq_cov2,
                     taxon_counts=taxon_counts, uniq_matches2=uniq_matches2,

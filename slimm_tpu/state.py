@@ -110,6 +110,8 @@ class ProfileState:
 
     _coverage_cut_off: np.float32 = f32(0.0)
     _uniq_coverage_cut_off: np.float32 = f32(0.0)
+    # device-computed per-contig nonzero-bin counts (engine fast path)
+    _nz_cache: dict = field(default_factory=dict)
 
     # -- db access mirroring unordered_map::operator[] insert-on-miss ---------
 
@@ -158,6 +160,9 @@ class ProfileState:
 
     def nonzero_bins(self, which: str) -> np.ndarray:
         """Per-contig count of nonzero bins."""
+        cached = self._nz_cache.get(which)
+        if cached is not None:
+            return cached
         arr = getattr(self, which)
         csum = np.concatenate([[0], np.cumsum(arr > 0)])
         ends = self.bin_offset + self.nbins

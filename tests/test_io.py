@@ -28,7 +28,12 @@ def test_load_arrays(toy_dir):
     batch = af.load()
     mapped = [r for r in toy_dir.records if not (r[1] & 0x4) and r[2] >= 0]
     assert batch.hits_count == len(mapped)
-    assert len(batch.rid) == len(mapped)
+    # targets are dedup'd per (read-key, contig) — first hit wins
+    keys = set()
+    for q, f, rid, _, _ in mapped:
+        k = q + ".1" if f & 0x40 else (q + ".2" if f & 0x80 else q)
+        keys.add((k, rid))
+    assert len(batch.rid) == len(keys)
     assert batch.avg_read_length == 100
     # read ids are dense, first-appearance ordered
     assert batch.read_id.max() == batch.n_reads - 1

@@ -1,0 +1,117 @@
+"""Native C++ decoder / baseline vs the Python reference implementations."""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from slimm_tpu.io import AlignmentFile
+from slimm_tpu.io import native
+
+from tests.toy import build_toy_db, make_records, write_bam, write_sam
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ensure_native_built():
+    if not native.available():
+        from slimm_tpu.io.native_build import build
+        try:
+            build(verbose=False)
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            pytest.skip("native toolchain unavailable")
+
+
+def assert_batches_equal(a, b):
+    assert a.hits_count == b.hits_count
+    assert a.n_reads == b.n_reads
+    assert a.avg_read_length == b.avg_read_length
+    np.testing.assert_array_equal(np.asarray(a.read_id, np.int64),
+                                  np.asarray(b.read_id, np.int64))
+    np.testing.assert_array_equal(a.rid, b.rid)
+    np.testing.assert_array_equal(a.pos, b.pos)
+
+
+def test_native_sam_matches_python(toy_dir):
+    py = AlignmentFile(toy_dir.sam_path)
+    nat = native.NativeAlignmentFile(toy_dir.sam_path)
+    assert nat.contig_names == py.contig_names
+    np.testing.assert_array_equal(nat.contig_lengths, py.contig_lengths)
+    assert_batches_equal(nat.load(), py.load())
+
+
+def test_native_bam_matches_python(toy_dir):
+    bam = write_bam(toy_dir.dir, toy_dir.records)
+    py = AlignmentFile(bam)
+    nat = native.NativeAlignmentFile(bam)
+    assert nat.contig_names == py.contig_names
+    np.testing.assert_array_equal(nat.contig_lengths, py.contig_lengths)
+    assert_batches_equal(nat.load(), py.load())
+    # BAM decode agrees with the SAM decode of the same records
+    sam_batch = AlignmentFile(toy_dir.sam_path).load()
+    assert_batches_equal(nat.load(), sam_batch)
+
+
+def test_native_missing_file():
+    with pytest.raises(FileNotFoundError):
+        native.NativeAlignmentFile("/nonexistent/x.sam")
+
+
+def test_native_no_seq_records(tmp_path):
+    p = tmp_path / "noseq.sam"
+    p.write_text("@SQ\tSN:c1\tLN:100\nq\t4\t*\t0\t0\t*\t*\t0\t0\t*\t*\n")
+    nat = native.NativeAlignmentFile(str(p))
+    with pytest.raises(ZeroDivisionError):
+        nat.load()
+
+
+def test_baseline_counters_match_oracle(toy_dir):
+    """The C++ single-core baseline reproduces the oracle's counters."""
+    import copy
+
+    from slimm_tpu.config import ProfileOptions
+    from slimm_tpu.database import tensorize
+    from slimm_tpu.oracle import OracleProfiler
+
+    db = build_toy_db(toy_dir)
+    af = AlignmentFile(toy_dir.sam_path)
+    batch = af.load()
+    dense = tensorize(copy.deepcopy(db), af.contig_names)
+
+    # the baseline consumes the RAW record stream (it does its own dedup);
+    # rebuild it from the parsed records with the same read-key interning
+    key_to_id, raw = {}, []
+    for q, f, rid, pos, _ in af.raw_records():
+        if (f & 0x4) or rid < 0:
+            continue
+        k = q + ".1" if f & 0x40 else (q + ".2" if f & 0x80 else q)
+        rd = key_to_id.setdefault(k, len(key_to_id))
+        raw.append((rd, rid, pos))
+    raw = np.asarray(raw, np.int32)
+
+    secs, counters = native.baseline_profile(
+        raw[:, 0], raw[:, 1], raw[:, 2], len(key_to_id),
+        af.contig_lengths, dense.lineage, batch.avg_read_length,
+        bin_width=batch.avg_read_length)
+    assert secs >= 0
+
+    prof = OracleProfiler(ProfileOptions(), db.ac__taxid, db.taxid__name,
+                          list(zip(af.contig_names,
+                                   af.contig_lengths.tolist())))
+    st = prof.run(af.raw_records())
+    assert counters["hits"] == st.hits_count
+    assert counters["matches"] == st.matches_count
+    assert counters["uniq_matches"] == st.uniq_matches_count
+    assert counters["uniq_matches2"] == st.uniq_matches_count2
+    assert counters["n_valid_refs"] == len(st.valid_ref_ids)
+    assert counters["cov_mass"] == int(st.cov.sum())
+    assert counters["uniq_cov2_mass"] == int(st.uniq_cov2.sum())
+
+
+def test_engine_uses_native_decoder(toy_dir):
+    from slimm_tpu.config import EngineOptions
+    from slimm_tpu.engine.pipeline import open_alignment_file
+
+    af = open_alignment_file(toy_dir.sam_path, EngineOptions(use_native=True))
+    assert isinstance(af, native.NativeAlignmentFile)
+    af2 = open_alignment_file(toy_dir.sam_path, EngineOptions(use_native=False))
+    assert isinstance(af2, AlignmentFile)

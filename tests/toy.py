@@ -155,6 +155,42 @@ def write_sam(d: str, records, name: str = "toy-reads.sam"):
     return sam_path
 
 
+def write_bam(d: str, records, name: str = "toy-reads.bam"):
+    """Minimal BAM writer (gzip container; decoders accept any gzip stream)."""
+    import gzip
+    import struct
+
+    bam_path = os.path.join(d, name)
+    rng = np.random.default_rng(1)
+    body = bytearray()
+    body += b"BAM\x01"
+    text = b""
+    body += struct.pack("<i", len(text)) + text
+    body += struct.pack("<i", len(TOY_CONTIGS))
+    for _, seq_name, length, _ in TOY_CONTIGS:
+        raw = seq_name.encode() + b"\x00"
+        body += struct.pack("<i", len(raw)) + raw + struct.pack("<i", length)
+    seq_code = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+    for qname, flag, rid, pos0, seq_len in records:
+        qn = qname.encode() + b"\x00"
+        seq = rng.choice(list("ACGT"), size=seq_len) if seq_len else []
+        packed = bytearray()
+        for i in range(0, len(seq), 2):
+            hi = seq_code[seq[i]] << 4
+            lo = seq_code[seq[i + 1]] if i + 1 < len(seq) else 0
+            packed.append(hi | lo)
+        cigar = struct.pack("<I", (seq_len << 4) | 0) if rid >= 0 else b""
+        qual = b"\x28" * seq_len
+        rec = struct.pack("<iiBBHHHiiii", rid, pos0 if rid >= 0 else -1,
+                          len(qn), 60, 0, 1 if cigar else 0, flag, seq_len,
+                          -1, -1, 0)
+        rec += qn + cigar + bytes(packed) + qual
+        body += struct.pack("<i", len(rec)) + rec
+    with gzip.open(bam_path, "wb") as f:
+        f.write(bytes(body))
+    return bam_path
+
+
 @dataclass
 class ToyDataset:
     dir: str
