@@ -7,8 +7,19 @@ reference byte-for-byte, including its spelling ("accesion", "linage").
 
 from __future__ import annotations
 
+import os
+
 from ..io.files import tsv_file_name
 from ..state import ProfileState
+
+
+def _open_out(path: str):
+    # the reference's ofstream fails silently on a missing directory
+    # (slimm.hpp:736); we create it instead
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    return open(path, "wt")
 
 PROFILE_HEADER = "taxa_level\ttaxa_id\tlinage\tabundance\tread_count\n"
 
@@ -23,7 +34,7 @@ RAW_HEADER = (
 def write_abundance(state: ProfileState, output_prefix: str,
                     input_path: str) -> str:
     path = tsv_file_name(output_prefix, input_path, "_profile")
-    with open(path, "wt") as f:
+    with _open_out(path) as f:
         f.write(PROFILE_HEADER)
         for row in state.abundance_rows():
             f.write("\t".join(row) + "\n")
@@ -33,7 +44,7 @@ def write_abundance(state: ProfileState, output_prefix: str,
 def write_raw_stat(state: ProfileState, output_prefix: str,
                    input_path: str) -> str:
     path = tsv_file_name(output_prefix, input_path, "_raw")
-    with open(path, "wt") as f:
+    with _open_out(path) as f:
         f.write(RAW_HEADER)
         for row in state.raw_rows():
             f.write("\t".join(row) + "\n")
@@ -45,7 +56,7 @@ def write_coverage(state: ProfileState, output_prefix: str,
     paths = [tsv_file_name(output_prefix, input_path, suffix)
              for suffix in ("_coverage", "_uniq_coverage", "_uniq_coverage2")]
     for path, rows in zip(paths, state.coverage_rows()):
-        with open(path, "wt") as f:
+        with _open_out(path) as f:
             for row in rows:
                 f.write(row + "\n")
     return paths
