@@ -357,7 +357,25 @@ void* stpu_open(const char* path) {
   } else {
     ok = parse_sam(raw, f);
   }
-  (void)ok;
+  if (ok && f->n_reads > 0) {
+    // group targets by read id (stable counting sort) — the device
+    // pipeline turns per-read reductions into neighbor compares and
+    // segmented scans on contiguous groups
+    const size_t n = f->read_id.size();
+    std::vector<int64_t> offs(static_cast<size_t>(f->n_reads) + 1, 0);
+    for (size_t i = 0; i < n; ++i) ++offs[f->read_id[i] + 1];
+    for (size_t r = 1; r < offs.size(); ++r) offs[r] += offs[r - 1];
+    std::vector<int32_t> gr(n), gc(n), gp(n);
+    for (size_t i = 0; i < n; ++i) {
+      int64_t o = offs[f->read_id[i]]++;
+      gr[o] = f->read_id[i];
+      gc[o] = f->rid[i];
+      gp[o] = f->pos[i];
+    }
+    f->read_id.swap(gr);
+    f->rid.swap(gc);
+    f->pos.swap(gp);
+  }
   return f;
 }
 

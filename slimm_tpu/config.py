@@ -53,6 +53,10 @@ class EngineOptions:
     batch_pad: int = 8192
     # Use the native C++ decoder when available.
     use_native: bool = True
+    # Fetch the full coverage histograms to the host (needed for -ro/-co
+    # reports and oracle-parity checks; the hot path only needs the small
+    # per-contig stats).
+    fetch_coverage: bool = True
     # Emit a jax.profiler trace directory when set.
     trace_dir: str | None = None
     # Per-phase timing log to stderr, same shape as the reference.

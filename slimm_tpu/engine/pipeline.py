@@ -67,12 +67,33 @@ def _bucket(n: int, quantum: int = 8192) -> int:
 # ---------------------------------------------------------------------------
 
 
+def _cumsum_1d(x):
+    """Fast 1-D int32 cumsum via 2-D row scans (plain 1-D cumsum lowers to a
+    slow serialized scan on TPU).  x length must be a multiple of 1024."""
+    m = x.reshape(-1, 1024)
+    row = jnp.cumsum(m, axis=1)
+    offs = jnp.concatenate([jnp.zeros(1, x.dtype), jnp.cumsum(row[:, -1])[:-1]])
+    return (row + offs[:, None]).reshape(-1)
+
+
+def _boundary_sums(values, starts, ends):
+    """Per-contig sums over the flat bin axis: cs[ends] - cs[starts].
+    Replaces segment_sum over a sorted contig_of_bin map (which compiles
+    pathologically on the current toolchain)."""
+    cs = jnp.concatenate([jnp.zeros(1, values.dtype), _cumsum_1d(values)])
+    return cs[ends] - cs[starts]
+
+
 def _pass_a_local(t_read, t_rid, t_pos, lengths_u32, bin_offset,
-                  half, bin_width, *, n_contigs, total_bins, n_reads_pad):
+                  half, bin_width, *, n_contigs, total_bins_pad):
     """Dedup'd targets → per-read/per-contig counters + coverage histograms.
 
     t_read/t_rid/t_pos are int32[N_pad] target arrays padded with
-    t_read == -1; one entry per distinct (read, contig), first hit's pos.
+    t_read == -1; one entry per distinct (read, contig), first hit's pos;
+    GROUPED by read id (decoder contract) so per-read uniqueness is a
+    neighbor compare.  total_bins_pad is the padded (multiple of 1024)
+    global bin count; bin_offset/bin_ends are each contig's [start, end)
+    range on that axis.
     """
     valid = t_read >= 0
     rid_c = jnp.clip(t_rid, 0, n_contigs - 1)
@@ -82,92 +103,138 @@ def _pass_a_local(t_read, t_rid, t_pos, lengths_u32, bin_offset,
     local_bin = (center // bin_width.astype(jnp.uint32)).astype(jnp.int32)
     t_gbin = bin_offset[rid_c] + local_bin
 
-    # per-read target counts; padding goes to segment n_reads_pad
-    seg = jnp.where(valid, t_read, n_reads_pad)
-    n_targets = jax.ops.segment_sum(valid.astype(jnp.int32), seg,
-                                    num_segments=n_reads_pad + 1)[:-1]
-    read_is_uniq = n_targets == 1
-    t_uniq = valid & read_is_uniq[jnp.clip(t_read, 0, n_reads_pad - 1)]
+    # uniqueness == alone in the read group (targets grouped by read)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), t_read[:-1]])
+    nxt = jnp.concatenate([t_read[1:], jnp.full((1,), -1, jnp.int32)])
+    t_uniq = valid & (t_read != prev) & (t_read != nxt)
+    uniq_matches = jnp.sum(t_uniq.astype(jnp.int32))
 
-    # per-contig counters (slimm.hpp:219-256)
-    seg_rid = jnp.where(valid, t_rid, n_contigs)
-    reads_count = jax.ops.segment_sum(valid.astype(jnp.int32), seg_rid,
-                                      num_segments=n_contigs + 1)[:-1]
-    uniq_reads_count = jax.ops.segment_sum(t_uniq.astype(jnp.int32), seg_rid,
-                                           num_segments=n_contigs + 1)[:-1]
-
-    # coverage histograms over the flat global bin axis
-    hist_idx = jnp.where(valid, t_gbin, total_bins)
-    cov = jnp.zeros(total_bins, jnp.int32).at[hist_idx].add(
+    # coverage histograms (two plain 1-D scatters — multi-column window
+    # scatters compile pathologically on the current toolchain)
+    hist_idx = jnp.where(valid, t_gbin, total_bins_pad)
+    cov = jnp.zeros(total_bins_pad, jnp.int32).at[hist_idx].add(
         valid.astype(jnp.int32), mode="drop")
-    uniq_cov = jnp.zeros(total_bins, jnp.int32).at[hist_idx].add(
+    uniq_cov = jnp.zeros(total_bins_pad, jnp.int32).at[hist_idx].add(
         t_uniq.astype(jnp.int32), mode="drop")
 
-    uniq_matches = jnp.sum(read_is_uniq.astype(jnp.int32))
     return dict(t_read=t_read, t_rid=t_rid, t_gbin=t_gbin, t_valid=valid,
-                cov=cov, uniq_cov=uniq_cov, reads_count=reads_count,
-                uniq_reads_count=uniq_reads_count, uniq_matches=uniq_matches)
+                cov=cov, uniq_cov=uniq_cov, uniq_matches=uniq_matches)
 
 
-def _nz_counts(cov, contig_of_bin, n_contigs):
-    """Per-contig nonzero-bin counts (reference_contig.hpp:84-91)."""
-    return jax.ops.segment_sum((cov > 0).astype(jnp.int32), contig_of_bin,
-                               num_segments=n_contigs)
+def _contig_stats(cov, uniq_cov, bin_offset, bin_ends):
+    """Per-contig counters derived from the (merged) histograms
+    (slimm.hpp:219-256): reads_count[c] == total targets binned into c's
+    range; nz == occupied-bin counts (reference_contig.hpp:84-91).
+
+    Must run on the fully merged histograms in multi-shard mode — occupancy
+    does not commute with summation.  Packed into one (4, C) array so the
+    host fetches everything in a single ~30ms round trip."""
+    stats4 = jnp.stack([
+        _boundary_sums(cov, bin_offset, bin_ends),
+        _boundary_sums(uniq_cov, bin_offset, bin_ends),
+        _boundary_sums((cov > 0).astype(jnp.int32), bin_offset, bin_ends),
+        _boundary_sums((uniq_cov > 0).astype(jnp.int32), bin_offset, bin_ends),
+    ])
+    return dict(stats4=stats4)
+
+
+def _shift_right(x, d, fill):
+    pad = jnp.full((d,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([pad, x[:-d]], axis=0)
+
+
+def _shift_left(x, d, fill):
+    pad = jnp.full((d,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([x[d:], pad], axis=0)
+
+
+def _segscan_end(t_read, values, combine, identity, k_steps):
+    """Segmented Hillis-Steele inclusive scan along the grouped target axis.
+
+    Segments are runs of equal t_read (the decoder's grouped-by-read
+    contract).  After ceil(log2(max_run)) steps the LAST element of each
+    segment holds the full-segment reduction.  Pure shifts + elementwise
+    selects — replaces segment_min/max/sum scatters, which run at ~7M
+    elem/s on TPU vs GB/s for this formulation.
+    """
+    v = values
+    for k in range(k_steps):
+        d = 1 << k
+        same = t_read == _shift_right(t_read, d, jnp.int32(-2))
+        if values.ndim > 1:
+            same = same[:, None]
+        sv = _shift_right(v, d, identity)
+        v = combine(v, jnp.where(same, sv, identity))
+    return v
+
+
+def _backfill_from_ends(t_read, end_values, end_mask, fill, k_steps):
+    """Propagate each segment's end value back to every element (doubling)."""
+    y = jnp.where(end_mask, end_values, fill)
+    for k in range(k_steps):
+        d = 1 << k
+        same = t_read == _shift_left(t_read, d, jnp.int32(-3))
+        ny = _shift_left(y, d, fill)
+        y = jnp.where(same, ny, y)
+    return y
 
 
 def _pass_b_local(t_read, t_rid, t_gbin, t_valid, valid_mask, lineage,
-                  *, n_contigs, total_bins, n_reads_pad, n_dense):
-    """Filtered re-dedup + vectorized LCA (slimm.hpp:351-392, 516-557)."""
+                  *, n_contigs, total_bins_pad, n_dense, k_steps):
+    """Filtered re-dedup + vectorized LCA (slimm.hpp:351-392, 516-557).
+
+    All per-read reductions use segmented doubling scans over the grouped
+    target axis; k_steps must satisfy 2**k_steps >= max targets per read
+    (host-computed).  One fused scatter covers both the uniq_cov2 histogram
+    and the per-taxid LCA counts.
+    """
     rid_c = jnp.clip(t_rid, 0, n_contigs - 1)
     tmask = t_valid & valid_mask[rid_c]
+    end_mask = t_valid & (t_read != _shift_left(t_read, 1, jnp.int32(-3)))
 
-    seg = jnp.where(tmask, t_read, n_reads_pad)
-    n_valid = jax.ops.segment_sum(tmask.astype(jnp.int32), seg,
-                                  num_segments=n_reads_pad + 1)[:-1]
-    read_u2 = n_valid == 1
-    read_multi = n_valid > 1
-    tread_c = jnp.clip(t_read, 0, n_reads_pad - 1)
-    t_u2 = tmask & read_u2[tread_c]
-    t_multi = tmask & read_multi[tread_c]
-
-    # newly-unique reads (slimm.hpp:383-390)
-    seg_rid = jnp.where(t_u2, t_rid, n_contigs)
-    uniq_reads_count2 = jax.ops.segment_sum(t_u2.astype(jnp.int32), seg_rid,
-                                            num_segments=n_contigs + 1)[:-1]
-    hist_idx = jnp.where(t_u2, t_gbin, total_bins)
-    uniq_cov2 = jnp.zeros(total_bins, jnp.int32).at[hist_idx].add(
-        t_u2.astype(jnp.int32), mode="drop")
+    # per-read valid-target count at segment ends
+    cnt = _segscan_end(t_read, tmask.astype(jnp.int32), jnp.add,
+                       jnp.int32(0), k_steps)
+    total = _backfill_from_ends(t_read, cnt, end_mask, jnp.int32(0), k_steps)
+    t_u2 = tmask & (total == 1)          # newly-unique (slimm.hpp:383-390)
+    multi_end = end_mask & (cnt > 1)
 
     # --- vectorized LCA over the dense lineage matrix ---
     lv = lineage[rid_c]                                   # (N, 8)
     big = jnp.int32(n_dense)
-    lv_min = jnp.where(t_multi[:, None], lv, big)
-    lv_max = jnp.where(t_multi[:, None], lv, -1)
-    seg_l = jnp.where(t_multi, t_read, n_reads_pad)
-    per_read_min = jax.ops.segment_min(lv_min, seg_l,
-                                       num_segments=n_reads_pad + 1)[:-1]
-    per_read_max = jax.ops.segment_max(lv_max, seg_l,
-                                       num_segments=n_reads_pad + 1)[:-1]
-    eq = (per_read_min == per_read_max) & read_multi[:, None]   # (R, 8)
+    lv_min = jnp.where(tmask[:, None], lv, big)
+    lv_max = jnp.where(tmask[:, None], lv, -1)
+    mn8 = _segscan_end(t_read, lv_min, jnp.minimum, big, k_steps)
+    mx8 = _segscan_end(t_read, lv_max, jnp.maximum, jnp.int32(-1), k_steps)
+    rid_mx = _segscan_end(t_read, jnp.where(tmask, t_rid, -1), jnp.maximum,
+                          jnp.int32(-1), k_steps)
+    eq = (mn8 == mx8) & multi_end[:, None]                # (N, 8), ends only
     has_agree = eq.any(axis=1)
     first_level = jnp.where(has_agree, jnp.argmax(eq, axis=1), 7)
-    max_rid = jax.ops.segment_max(jnp.where(t_multi, t_rid, -1), seg_l,
-                                  num_segments=n_reads_pad + 1)[:-1]
     # lineage[max_rid][first agreeing level (or 7)] — slimm.hpp:516-531
-    lca = lineage[jnp.clip(max_rid, 0, n_contigs - 1), first_level]
+    lca_end = lineage[jnp.clip(rid_mx, 0, n_contigs - 1), first_level]
 
-    taxon_counts = jnp.zeros(n_dense, jnp.int32).at[
-        jnp.where(read_multi, lca, n_dense)].add(
-            read_multi.astype(jnp.int32), mode="drop")
+    # ONE fused scatter: [0, Bp) = uniq_cov2 histogram, [Bp, Bp+n_dense) =
+    # per-dense-taxid LCA counts; padding index Bp+n_dense drops
+    idx = jnp.where(t_u2, t_gbin,
+                    jnp.where(multi_end, total_bins_pad + lca_end,
+                              total_bins_pad + n_dense))
+    combined = jnp.zeros(total_bins_pad + n_dense, jnp.int32).at[idx].add(
+        (t_u2 | multi_end).astype(jnp.int32), mode="drop")
+    uniq_cov2 = combined[:total_bins_pad]
+    taxon_counts = combined[total_bins_pad:]
 
     # (lca, contig) pairs for children sets; -1 marks padding
-    pair_lca = jnp.where(t_multi, lca[tread_c], -1)
+    lca_b = _backfill_from_ends(t_read, lca_end, end_mask, jnp.int32(-1),
+                                k_steps)
+    t_multi = tmask & (total > 1)
+    pair_lca = jnp.where(t_multi, lca_b, -1)
     pair_rid = jnp.where(t_multi, t_rid, -1)
 
-    uniq_matches2 = jnp.sum(read_u2.astype(jnp.int32))
-    return dict(uniq_reads_count2=uniq_reads_count2, uniq_cov2=uniq_cov2,
-                taxon_counts=taxon_counts, pair_lca=pair_lca,
-                pair_rid=pair_rid, uniq_matches2=uniq_matches2)
+    uniq_matches2 = jnp.sum((end_mask & (cnt == 1)).astype(jnp.int32))
+    return dict(uniq_cov2=uniq_cov2, taxon_counts=taxon_counts,
+                pair_lca=pair_lca, pair_rid=pair_rid,
+                uniq_matches2=uniq_matches2)
 
 
 # ---------------------------------------------------------------------------
@@ -175,24 +242,33 @@ def _pass_b_local(t_read, t_rid, t_gbin, t_valid, valid_mask, lineage,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("n_contigs", "total_bins", "n_reads_pad"))
-def pass_a(t_read, t_rid, t_pos, lengths_u32, bin_offset, contig_of_bin,
-           half, bin_width, *, n_contigs, total_bins, n_reads_pad):
+@partial(jax.jit,
+         static_argnames=("n_contigs", "total_bins_pad"))
+def pass_a(t_read, t_rid, t_pos, lengths_u32, bin_offset, bin_ends,
+           half, bin_width, *, n_contigs, total_bins_pad):
     out = _pass_a_local(t_read, t_rid, t_pos, lengths_u32, bin_offset,
                         half, bin_width, n_contigs=n_contigs,
-                        total_bins=total_bins, n_reads_pad=n_reads_pad)
-    out["nz_cov"] = _nz_counts(out["cov"], contig_of_bin, n_contigs)
-    out["nz_uniq"] = _nz_counts(out["uniq_cov"], contig_of_bin, n_contigs)
+                        total_bins_pad=total_bins_pad)
+    stats4 = _contig_stats(out["cov"], out["uniq_cov"], bin_offset,
+                           bin_ends)["stats4"]
+    # row 4, col 0 carries the uniq_matches scalar — single host fetch
+    extra = jnp.zeros((1, stats4.shape[1]), jnp.int32).at[0, 0].set(
+        out["uniq_matches"])
+    out["stats5"] = jnp.concatenate([stats4, extra])
     return out
 
 
-@partial(jax.jit,
-         static_argnames=("n_contigs", "total_bins", "n_reads_pad", "n_dense"))
+@partial(jax.jit, static_argnames=("n_contigs", "total_bins_pad",
+                                   "n_dense", "k_steps"))
 def pass_b(t_read, t_rid, t_gbin, t_valid, valid_mask, lineage,
-           *, n_contigs, total_bins, n_reads_pad, n_dense):
-    return _pass_b_local(t_read, t_rid, t_gbin, t_valid, valid_mask, lineage,
-                         n_contigs=n_contigs, total_bins=total_bins,
-                         n_reads_pad=n_reads_pad, n_dense=n_dense)
+           bin_offset, bin_ends,
+           *, n_contigs, total_bins_pad, n_dense, k_steps):
+    out = _pass_b_local(t_read, t_rid, t_gbin, t_valid, valid_mask, lineage,
+                        n_contigs=n_contigs, total_bins_pad=total_bins_pad,
+                        n_dense=n_dense, k_steps=k_steps)
+    out["uniq_reads_count2"] = _boundary_sums(out["uniq_cov2"], bin_offset,
+                                              bin_ends)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -234,8 +310,7 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
     dense = tensorize(db, contig_names)
     n_contigs = len(st.accessions)
     total_bins = int(st.nbins.sum())
-    contig_of_bin = np.repeat(np.arange(n_contigs, dtype=np.int32),
-                              st.nbins.astype(np.int64))
+    total_bins_pad = -(-total_bins // 1024) * 1024  # _cumsum_1d row multiple
     timer.lap()
 
     st.hits_count = hits_count
@@ -245,8 +320,24 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
     st.matches_count = n_reads
 
     timer.start("Analysing alignments, reads and references ....... ")
+    # device contract: targets grouped by read id (ascending); decoders
+    # guarantee this, but arbitrary callers may not
+    read_id = np.asarray(read_id)
+    if len(read_id) and not np.all(read_id[:-1] <= read_id[1:]):
+        order = np.argsort(read_id, kind="stable")
+        read_id = read_id[order]
+        rid = np.asarray(rid)[order]
+        pos = np.asarray(pos)[order]
     n_pad = _bucket(len(read_id), engine.batch_pad)
-    r_pad = _bucket(n_reads, engine.batch_pad)
+    # doubling-scan depth: 2**k_steps >= max targets per read; bucketed to
+    # even values to limit recompiles
+    if len(read_id):
+        bnd = np.flatnonzero(np.r_[True, read_id[1:] != read_id[:-1], True])
+        max_run = int(np.diff(bnd).max())
+    else:
+        max_run = 1
+    k_steps = max(2, int(np.ceil(np.log2(max(max_run, 2)))))
+    k_steps = ((k_steps + 1) // 2) * 2
 
     def pad(a, fill):
         out = np.full(n_pad, fill, np.int32)
@@ -258,28 +349,30 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
     pos_p = pad(pos, 0)
     lengths_u32 = st.lengths.astype(np.uint32)
     bin_offset = st.bin_offset.astype(np.int32)
+    bin_ends = (st.bin_offset + st.nbins).astype(np.int32)
     half = np.int32(avg_read_length // 2)
     bw = np.int32(options.bin_width)
 
     if sharded_runner is not None:
         a = sharded_runner.pass_a(
-            read_id_p, rid_p, pos_p, lengths_u32, bin_offset, contig_of_bin,
-            half, bw, n_contigs=n_contigs, total_bins=total_bins,
-            n_reads=n_reads)
+            read_id_p, rid_p, pos_p, lengths_u32, bin_offset, bin_ends,
+            half, bw, n_contigs=n_contigs, total_bins_pad=total_bins_pad)
     else:
         a = pass_a(read_id_p, rid_p, pos_p, jnp.asarray(lengths_u32),
-                   jnp.asarray(bin_offset), jnp.asarray(contig_of_bin),
-                   half, bw, n_contigs=n_contigs, total_bins=total_bins,
-                   n_reads_pad=r_pad)
+                   jnp.asarray(bin_offset), jnp.asarray(bin_ends),
+                   half, bw, n_contigs=n_contigs,
+                   total_bins_pad=total_bins_pad)
 
-    st.cov = np.asarray(a["cov"]).astype(np.uint32)
-    st.uniq_cov = np.asarray(a["uniq_cov"]).astype(np.uint32)
-    st.reads_count = np.asarray(a["reads_count"]).astype(np.int64)
-    st.uniq_reads_count = np.asarray(a["uniq_reads_count"]).astype(np.int64)
-    st.uniq_matches_count = int(a["uniq_matches"])
+    stats5 = np.asarray(a["stats5"])      # one host round trip
+    st.reads_count = stats5[0].astype(np.int64)
+    st.uniq_reads_count = stats5[1].astype(np.int64)
+    st._nz_cache["cov"] = stats5[2].astype(np.int64)
+    st._nz_cache["uniq_cov"] = stats5[3].astype(np.int64)
+    st.uniq_matches_count = int(stats5[4, 0])
     st.uniq_hits_count = st.uniq_matches_count  # identical by construction
-    st._nz_cache["cov"] = np.asarray(a["nz_cov"]).astype(np.int64)
-    st._nz_cache["uniq_cov"] = np.asarray(a["nz_uniq"]).astype(np.int64)
+    if engine.fetch_coverage:
+        st.cov = np.asarray(a["cov"])[:total_bins].astype(np.uint32)
+        st.uniq_cov = np.asarray(a["uniq_cov"])[:total_bins].astype(np.uint32)
     st.compute_abundances()
     timer.lap()
 
@@ -294,15 +387,18 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
     if sharded_runner is not None:
         b = sharded_runner.pass_b(
             a, np.asarray(valid), dense.lineage, n_contigs=n_contigs,
-            total_bins=total_bins, n_dense=dense.n_dense)
+            total_bins_pad=total_bins_pad, n_dense=dense.n_dense,
+            k_steps=k_steps)
     else:
         b = pass_b(a["t_read"], a["t_rid"], a["t_gbin"], a["t_valid"],
                    jnp.asarray(valid), jnp.asarray(dense.lineage),
-                   n_contigs=n_contigs, total_bins=total_bins,
-                   n_reads_pad=r_pad, n_dense=dense.n_dense)
+                   jnp.asarray(bin_offset), jnp.asarray(bin_ends),
+                   n_contigs=n_contigs, total_bins_pad=total_bins_pad,
+                   n_dense=dense.n_dense, k_steps=k_steps)
 
     st.uniq_reads_count2 = np.asarray(b["uniq_reads_count2"]).astype(np.int64)
-    st.uniq_cov2 = np.asarray(b["uniq_cov2"]).astype(np.uint32)
+    if engine.fetch_coverage:
+        st.uniq_cov2 = np.asarray(b["uniq_cov2"])[:total_bins].astype(np.uint32)
     st.uniq_matches_count2 = int(b["uniq_matches2"])
 
     # dense LCA counts + children pairs → taxid dicts (host finalize)

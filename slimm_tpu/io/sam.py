@@ -186,10 +186,16 @@ class AlignmentFile:
                 poss.append(pos)
         if n_sampled == 0:
             raise ZeroDivisionError("no records with sequences (misc.hpp:521)")
+        read_id = np.asarray(read_ids, np.int64)
+        rid = np.asarray(rids, np.int32)
+        pos = np.asarray(poss, np.int32)
+        # group targets by read id (stable), matching the native decoder's
+        # counting sort — enables neighbor-compare uniqueness on device
+        order = np.argsort(read_id, kind="stable")
         return RecordBatch(
-            read_id=np.asarray(read_ids, np.int64),
-            rid=np.asarray(rids, np.int32),
-            pos=np.asarray(poss, np.int32),
+            read_id=read_id[order],
+            rid=rid[order],
+            pos=pos[order],
             n_reads=len(key_to_id),
             hits_count=hits,
             avg_read_length=total_len // n_sampled,
