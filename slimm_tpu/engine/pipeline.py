@@ -2,22 +2,34 @@
 
 Division of labor (TPU-first design):
   * The decoder (native C++ or Python fallback, slimm_tpu/io) interns read
-    names and applies the first-hit-wins (read, contig) dedup of
-    read_stat::add_target (reference read_stat.hpp:116-135) while streaming
-    the file — it already owns the read-name hash map, so dedup is a free
-    O(1) set probe per record.  It emits dense TARGET arrays
-    (read_id, rid, pos): one entry per distinct (read, contig).
-  * The device runs everything per-target/per-bin as scatter-adds, segment
-    reductions and gathers — no device-side sort anywhere (XLA TPU sorts
-    compile catastrophically slowly at millions of elements on current
-    toolchains and are unnecessary here).
+    names and emits dense record arrays (read_id, rid, pos) GROUPED by read
+    id.  First-hit-wins (read, contig) dedup — the semantics of
+    read_stat::add_target (reference read_stat.hpp:116-135) — happens ON
+    DEVICE via windowed shift-compares over the grouped record axis, so the
+    host never touches per-record data after decode.  (Decoders may also
+    pre-dedup, in which case the device window is 0.)
+  * The device runs the ENTIRE per-file profile as ONE fused jit: binning,
+    dedup, coverage scatters, per-contig stats, the coverage-quantile
+    cutoffs (an exact float32-sequential reimplementation of
+    misc.hpp:197-216 as a tiny lax.scan), the contig validity mask, the
+    filtered re-dedup and the vectorized LCA.  A single packed int32 vector
+    comes back to the host — one device round trip per input file (the
+    axon-tunnel round trip is ~28 ms, so dispatch count dominates latency).
+  * No device-side sort over the record axis anywhere (XLA TPU sorts
+    compile catastrophically slowly at millions of elements) — the only
+    sort is over the n_contigs-sized coverage-percent vector inside the
+    quantile cutoff.
 
-  pass A  (targets → coverage):
+  pass A  (records → coverage):
     bin = min(pos + avg_len/2, length[rid]) / bin_width   (slimm.hpp:200-201)
-    per-read target counts → uniqueness; per-contig counters; coverage
-    histograms over the flat global bin axis (slimm.hpp:219-256)
+    windowed (read, contig) dedup; per-read target counts → uniqueness;
+    coverage histograms over the flat global bin axis (slimm.hpp:219-256)
 
-  pass B  (targets + validity mask → LCA):
+  cutoffs (device): mass-quantile over cov-percent of contigs with unique
+    reads (misc.hpp:197-216, slimm.hpp:328-343, 672-688); validity mask
+    (slimm.hpp:351-361)
+
+  pass B  (records + validity mask → LCA):
     re-mask targets by valid contigs (read_stat::update, slimm.hpp:380-390)
     per-read per-level segment min/max over the dense lineage matrix; the
     first level where min == max is the LCA level, and the value is
@@ -26,13 +38,19 @@ Division of labor (TPU-first design):
     scatter-add LCA counts over the dense taxid axis; (lca, contig) pairs
     out for the children sets
 
-The `_pass_a_local` / `_pass_b_local` cores are shared between the
-single-device jits below and the shard_map data-parallel runner
-(slimm_tpu.parallel.runner): all merged quantities are integer counts, so
-multi-shard psum merges are exact and shard count is invisible.
+Per-read segment reductions run along the grouped record axis either as
+D-wide shift windows (D = max targets per read - 1, host-measured; the
+common case is D <= 4) or as log-depth doubling scans when runs are long.
+Both are pure shifts + elementwise selects — segment_min/max/sum scatters
+run at ~7M elem/s on TPU vs GB/s for this formulation.
 
-Static shapes: target and read axes are padded to bucket sizes so jit
-caches compilations across files/batches.
+The `_fused_core` is shared between the single-device jit below and the
+shard_map data-parallel runner (slimm_tpu.parallel.runner): all merged
+quantities are integer counts, so multi-shard psum merges are exact and
+shard count is invisible.
+
+Static shapes: the record axis is padded to bucket sizes so jit caches
+compilations across files/batches.
 """
 
 from __future__ import annotations
@@ -51,6 +69,11 @@ from ..database import DenseTaxonomy, SlimmDatabase, tensorize
 from ..state import ProfileState
 from ..utils.timer import PhaseTimer
 
+# Widest supported shift-window for device-side dedup / segment reductions;
+# reads with more records than this fall back to log-depth scans (and to
+# host dedup, which handles arbitrary duplicate spans).
+MAX_WINDOW = 4
+
 
 def _bucket(n: int, quantum: int = 8192) -> int:
     """Round up to a padding bucket (limits jit recompiles across files)."""
@@ -63,7 +86,7 @@ def _bucket(n: int, quantum: int = 8192) -> int:
 
 
 # ---------------------------------------------------------------------------
-# shared cores (used by both the single-device jits and shard_map shards)
+# shared cores (used by both the single-device jit and shard_map shards)
 # ---------------------------------------------------------------------------
 
 
@@ -84,60 +107,6 @@ def _boundary_sums(values, starts, ends):
     return cs[ends] - cs[starts]
 
 
-def _pass_a_local(t_read, t_rid, t_pos, lengths_u32, bin_offset,
-                  half, bin_width, *, n_contigs, total_bins_pad):
-    """Dedup'd targets → per-read/per-contig counters + coverage histograms.
-
-    t_read/t_rid/t_pos are int32[N_pad] target arrays padded with
-    t_read == -1; one entry per distinct (read, contig), first hit's pos;
-    GROUPED by read id (decoder contract) so per-read uniqueness is a
-    neighbor compare.  total_bins_pad is the padded (multiple of 1024)
-    global bin count; bin_offset/bin_ends are each contig's [start, end)
-    range on that axis.
-    """
-    valid = t_read >= 0
-    rid_c = jnp.clip(t_rid, 0, n_contigs - 1)
-    # center-position binning with uint32 wrap semantics (slimm.hpp:200-201)
-    center = jnp.minimum(t_pos.astype(jnp.uint32) + half.astype(jnp.uint32),
-                         lengths_u32[rid_c])
-    local_bin = (center // bin_width.astype(jnp.uint32)).astype(jnp.int32)
-    t_gbin = bin_offset[rid_c] + local_bin
-
-    # uniqueness == alone in the read group (targets grouped by read)
-    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), t_read[:-1]])
-    nxt = jnp.concatenate([t_read[1:], jnp.full((1,), -1, jnp.int32)])
-    t_uniq = valid & (t_read != prev) & (t_read != nxt)
-    uniq_matches = jnp.sum(t_uniq.astype(jnp.int32))
-
-    # coverage histograms (two plain 1-D scatters — multi-column window
-    # scatters compile pathologically on the current toolchain)
-    hist_idx = jnp.where(valid, t_gbin, total_bins_pad)
-    cov = jnp.zeros(total_bins_pad, jnp.int32).at[hist_idx].add(
-        valid.astype(jnp.int32), mode="drop")
-    uniq_cov = jnp.zeros(total_bins_pad, jnp.int32).at[hist_idx].add(
-        t_uniq.astype(jnp.int32), mode="drop")
-
-    return dict(t_read=t_read, t_rid=t_rid, t_gbin=t_gbin, t_valid=valid,
-                cov=cov, uniq_cov=uniq_cov, uniq_matches=uniq_matches)
-
-
-def _contig_stats(cov, uniq_cov, bin_offset, bin_ends):
-    """Per-contig counters derived from the (merged) histograms
-    (slimm.hpp:219-256): reads_count[c] == total targets binned into c's
-    range; nz == occupied-bin counts (reference_contig.hpp:84-91).
-
-    Must run on the fully merged histograms in multi-shard mode — occupancy
-    does not commute with summation.  Packed into one (4, C) array so the
-    host fetches everything in a single ~30ms round trip."""
-    stats4 = jnp.stack([
-        _boundary_sums(cov, bin_offset, bin_ends),
-        _boundary_sums(uniq_cov, bin_offset, bin_ends),
-        _boundary_sums((cov > 0).astype(jnp.int32), bin_offset, bin_ends),
-        _boundary_sums((uniq_cov > 0).astype(jnp.int32), bin_offset, bin_ends),
-    ])
-    return dict(stats4=stats4)
-
-
 def _shift_right(x, d, fill):
     pad = jnp.full((d,) + x.shape[1:], fill, x.dtype)
     return jnp.concatenate([pad, x[:-d]], axis=0)
@@ -148,15 +117,22 @@ def _shift_left(x, d, fill):
     return jnp.concatenate([x[d:], pad], axis=0)
 
 
-def _segscan_end(t_read, values, combine, identity, k_steps):
-    """Segmented Hillis-Steele inclusive scan along the grouped target axis.
+def _seg_end_reduce(t_read, values, combine, identity, *, k_steps, window):
+    """Segment reduction along the grouped record axis; END positions of
+    each equal-t_read run hold the full-segment reduction afterwards.
 
-    Segments are runs of equal t_read (the decoder's grouped-by-read
-    contract).  After ceil(log2(max_run)) steps the LAST element of each
-    segment holds the full-segment reduction.  Pure shifts + elementwise
-    selects — replaces segment_min/max/sum scatters, which run at ~7M
-    elem/s on TPU vs GB/s for this formulation.
+    window > 0: direct D-wide shift window (needs window >= max_run - 1).
+    window == 0: Hillis-Steele doubling scan, k_steps >= ceil(log2(max_run)).
     """
+    if window > 0:
+        v = values
+        for d in range(1, window + 1):
+            same = t_read == _shift_right(t_read, d, jnp.int32(-2))
+            if values.ndim > 1:
+                same = same[:, None]
+            sv = _shift_right(values, d, identity)
+            v = combine(v, jnp.where(same, sv, identity))
+        return v
     v = values
     for k in range(k_steps):
         d = 1 << k
@@ -168,34 +144,133 @@ def _segscan_end(t_read, values, combine, identity, k_steps):
     return v
 
 
-def _backfill_from_ends(t_read, end_values, end_mask, fill, k_steps):
-    """Propagate each segment's end value back to every element (doubling)."""
+def _backfill_from_ends(t_read, end_values, end_mask, fill, *, k_steps,
+                        window):
+    """Propagate each segment's end value back to every element."""
     y = jnp.where(end_mask, end_values, fill)
+    if window > 0:
+        src = y
+        for d in range(1, window + 1):
+            same = t_read == _shift_left(t_read, d, jnp.int32(-3))
+            ny = _shift_left(src, d, fill)
+            y = jnp.where(same & (y == fill), ny, y)
+        return y
     for k in range(k_steps):
         d = 1 << k
         same = t_read == _shift_left(t_read, d, jnp.int32(-3))
         ny = _shift_left(y, d, fill)
-        y = jnp.where(same, ny, y)
+        y = jnp.where(same & (y == fill), ny, y)
     return y
 
 
-def _pass_b_local(t_read, t_rid, t_gbin, t_valid, valid_mask, lineage,
-                  *, n_contigs, total_bins_pad, n_dense, k_steps):
+def _pass_a_local(read_id, rid, pos, lengths_u32, bin_offset,
+                  half, bin_width, *, n_contigs, total_bins_pad,
+                  dedup_window, k_steps, window):
+    """Grouped records → dedup mask, binning, uniqueness, coverage.
+
+    read_id/rid/pos are int32[N_pad] record arrays padded with read_id ==
+    -1, GROUPED by read id (decoder contract).  dedup_window == 0 means the
+    input is already dedup'd per (read, contig) with first-hit positions
+    (native decoder path); dedup_window >= max_run-1 applies the
+    read_stat::add_target first-hit-wins rule on device.
+    """
+    valid = read_id >= 0
+    rid_c = jnp.clip(rid, 0, n_contigs - 1)
+    # center-position binning with uint32 wrap semantics (slimm.hpp:200-201)
+    center = jnp.minimum(pos.astype(jnp.uint32) + half.astype(jnp.uint32),
+                         lengths_u32[rid_c])
+    local_bin = (center // bin_width.astype(jnp.uint32)).astype(jnp.int32)
+    t_gbin = bin_offset[rid_c] + local_bin
+
+    # first-hit-wins (read, contig) dedup: a record is a duplicate iff an
+    # earlier record of the same read hits the same contig
+    # (read_stat.hpp:116-135 — the by-value loop keeps only the first bin)
+    dup = jnp.zeros(read_id.shape, bool)
+    for d in range(1, dedup_window + 1):
+        same = read_id == _shift_right(read_id, d, jnp.int32(-2))
+        dup = dup | (same & (rid == _shift_right(rid, d, jnp.int32(-1))))
+    nondup = valid & ~dup
+
+    # per-read distinct-target count → uniqueness (slimm.hpp:221-239)
+    end_mask = valid & (read_id != _shift_left(read_id, 1, jnp.int32(-3)))
+    cnt_end = _seg_end_reduce(read_id, nondup.astype(jnp.int32), jnp.add,
+                              jnp.int32(0), k_steps=k_steps, window=window)
+    total = _backfill_from_ends(read_id, cnt_end, end_mask, jnp.int32(0),
+                                k_steps=k_steps, window=window)
+    t_uniq = nondup & (total == 1)
+    uniq_matches = jnp.sum((end_mask & (cnt_end == 1)).astype(jnp.int32))
+
+    # coverage histograms (plain 1-D scatters; padding drops)
+    hist_idx = jnp.where(nondup, t_gbin, total_bins_pad)
+    cov = jnp.zeros(total_bins_pad, jnp.int32).at[hist_idx].add(
+        nondup.astype(jnp.int32), mode="drop")
+    uniq_idx = jnp.where(t_uniq, t_gbin, total_bins_pad)
+    uniq_cov = jnp.zeros(total_bins_pad, jnp.int32).at[uniq_idx].add(
+        t_uniq.astype(jnp.int32), mode="drop")
+
+    return dict(t_gbin=t_gbin, nondup=nondup, cov=cov, uniq_cov=uniq_cov,
+                uniq_matches=uniq_matches)
+
+
+def _quantile_cut_off_dev(vals, mask, q):
+    """Device mass-quantile, bit-exact vs state.quantile_cut_off
+    (reference misc.hpp:197-216).
+
+    total accumulates float32-sequentially in the original (contig) order;
+    the walk descends the sorted values from the top until
+    cumulative/total >= q and returns the element below the stop index.
+    Zero total yields NaN ratios (NaN < q is False) so the walk breaks at
+    the top and returns the max element.  Empty selection returns 0.
+    """
+    C = vals.shape[0]
+    contrib = jnp.where(mask, vals, jnp.float32(0.0))
+
+    def add(c, v):
+        return (c + v).astype(jnp.float32), None
+
+    total, _ = jax.lax.scan(add, jnp.float32(0.0), contrib)
+
+    m = mask.sum()
+    sv = jnp.sort(jnp.where(mask, vals, jnp.float32(np.inf)))  # valid asc
+    rv = sv[::-1]                                              # inf head
+    posn = jnp.arange(C)
+    # the reference walks i = n-1 .. 1 (i == 0 is never checked)
+    chk = (posn >= C - m) & (posn <= C - 2)
+
+    def step(carry, x):
+        sub, found, ans = carry
+        v, c = x
+        ratio = sub / total
+        brk = c & (~found) & jnp.logical_not(ratio < q)
+        ans = jnp.where(brk, v, ans)
+        found = found | brk
+        sub = jnp.where(c & (~found), (sub + v).astype(jnp.float32), sub)
+        return (sub, found, ans), None
+
+    (_, found, ans), _ = jax.lax.scan(
+        step, (jnp.float32(0.0), jnp.bool_(False), jnp.float32(0.0)),
+        (rv, chk))
+    res = jnp.where(found, ans, rv[C - 1])   # fell through → v[0]
+    return jnp.where(m == 0, jnp.float32(0.0), res)
+
+
+def _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
+                  *, n_contigs, total_bins_pad, n_dense, k_steps, window):
     """Filtered re-dedup + vectorized LCA (slimm.hpp:351-392, 516-557).
 
-    All per-read reductions use segmented doubling scans over the grouped
-    target axis; k_steps must satisfy 2**k_steps >= max targets per read
-    (host-computed).  One fused scatter covers both the uniq_cov2 histogram
-    and the per-taxid LCA counts.
+    One fused scatter covers both the uniq_cov2 histogram and the per-taxid
+    LCA counts.
     """
-    rid_c = jnp.clip(t_rid, 0, n_contigs - 1)
-    tmask = t_valid & valid_mask[rid_c]
-    end_mask = t_valid & (t_read != _shift_left(t_read, 1, jnp.int32(-3)))
+    rid_c = jnp.clip(rid, 0, n_contigs - 1)
+    tmask = nondup & valid_mask[rid_c]
+    end_mask = (read_id >= 0) & (
+        read_id != _shift_left(read_id, 1, jnp.int32(-3)))
 
     # per-read valid-target count at segment ends
-    cnt = _segscan_end(t_read, tmask.astype(jnp.int32), jnp.add,
-                       jnp.int32(0), k_steps)
-    total = _backfill_from_ends(t_read, cnt, end_mask, jnp.int32(0), k_steps)
+    cnt = _seg_end_reduce(read_id, tmask.astype(jnp.int32), jnp.add,
+                          jnp.int32(0), k_steps=k_steps, window=window)
+    total = _backfill_from_ends(read_id, cnt, end_mask, jnp.int32(0),
+                                k_steps=k_steps, window=window)
     t_u2 = tmask & (total == 1)          # newly-unique (slimm.hpp:383-390)
     multi_end = end_mask & (cnt > 1)
 
@@ -204,10 +279,12 @@ def _pass_b_local(t_read, t_rid, t_gbin, t_valid, valid_mask, lineage,
     big = jnp.int32(n_dense)
     lv_min = jnp.where(tmask[:, None], lv, big)
     lv_max = jnp.where(tmask[:, None], lv, -1)
-    mn8 = _segscan_end(t_read, lv_min, jnp.minimum, big, k_steps)
-    mx8 = _segscan_end(t_read, lv_max, jnp.maximum, jnp.int32(-1), k_steps)
-    rid_mx = _segscan_end(t_read, jnp.where(tmask, t_rid, -1), jnp.maximum,
-                          jnp.int32(-1), k_steps)
+    mn8 = _seg_end_reduce(read_id, lv_min, jnp.minimum, big,
+                          k_steps=k_steps, window=window)
+    mx8 = _seg_end_reduce(read_id, lv_max, jnp.maximum, jnp.int32(-1),
+                          k_steps=k_steps, window=window)
+    rid_mx = _seg_end_reduce(read_id, jnp.where(tmask, rid, -1), jnp.maximum,
+                             jnp.int32(-1), k_steps=k_steps, window=window)
     eq = (mn8 == mx8) & multi_end[:, None]                # (N, 8), ends only
     has_agree = eq.any(axis=1)
     first_level = jnp.where(has_agree, jnp.argmax(eq, axis=1), 7)
@@ -225,11 +302,12 @@ def _pass_b_local(t_read, t_rid, t_gbin, t_valid, valid_mask, lineage,
     taxon_counts = combined[total_bins_pad:]
 
     # (lca, contig) pairs for children sets; -1 marks padding
-    lca_b = _backfill_from_ends(t_read, lca_end, end_mask, jnp.int32(-1),
-                                k_steps)
+    lca_b = _backfill_from_ends(read_id, jnp.where(multi_end, lca_end, -1),
+                                end_mask, jnp.int32(-1),
+                                k_steps=k_steps, window=window)
     t_multi = tmask & (total > 1)
     pair_lca = jnp.where(t_multi, lca_b, -1)
-    pair_rid = jnp.where(t_multi, t_rid, -1)
+    pair_rid = jnp.where(t_multi, rid, -1)
 
     uniq_matches2 = jnp.sum((end_mask & (cnt == 1)).astype(jnp.int32))
     return dict(uniq_cov2=uniq_cov2, taxon_counts=taxon_counts,
@@ -237,38 +315,122 @@ def _pass_b_local(t_read, t_rid, t_gbin, t_valid, valid_mask, lineage,
                 uniq_matches2=uniq_matches2)
 
 
-# ---------------------------------------------------------------------------
-# single-device jitted entry points
-# ---------------------------------------------------------------------------
+# packed layout: 6 rows of n_contigs + 8 scalars + n_dense taxon counts
+_N_SCALARS = 8
 
 
-@partial(jax.jit,
-         static_argnames=("n_contigs", "total_bins_pad"))
-def pass_a(t_read, t_rid, t_pos, lengths_u32, bin_offset, bin_ends,
-           half, bin_width, *, n_contigs, total_bins_pad):
-    out = _pass_a_local(t_read, t_rid, t_pos, lengths_u32, bin_offset,
-                        half, bin_width, n_contigs=n_contigs,
-                        total_bins_pad=total_bins_pad)
-    stats4 = _contig_stats(out["cov"], out["uniq_cov"], bin_offset,
-                           bin_ends)["stats4"]
-    # row 4, col 0 carries the uniq_matches scalar — single host fetch
-    extra = jnp.zeros((1, stats4.shape[1]), jnp.int32).at[0, 0].set(
-        out["uniq_matches"])
-    out["stats5"] = jnp.concatenate([stats4, extra])
-    return out
+def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
+                half, bin_width, lineage, q, *, n_contigs, total_bins_pad,
+                n_dense, dedup_window, k_steps, window, psum_axis=None):
+    """The whole per-file profile in one traced computation.
+
+    Returns dict with `packed` (int32[6*C + 8 + n_dense]: reads_count,
+    uniq_reads_count, nz_cov, nz_uniq, uniq_reads_count2, valid_mask,
+    scalars [uniq_matches, uniq_matches2, cc<bitcast>, ucc<bitcast>, ...],
+    taxon_counts) plus the full histograms and (lca, contig) pair arrays.
+    Under shard_map, psum_axis names the data axis for the exact integer
+    merges; everything after the first psum is replicated computation.
+    """
+    a = _pass_a_local(read_id, rid, pos, lengths_u32, bin_offset,
+                      half, bin_width, n_contigs=n_contigs,
+                      total_bins_pad=total_bins_pad,
+                      dedup_window=dedup_window, k_steps=k_steps,
+                      window=window)
+    cov, uniq_cov, uniq_matches = a["cov"], a["uniq_cov"], a["uniq_matches"]
+    if psum_axis is not None:
+        cov = jax.lax.psum(cov, psum_axis)
+        uniq_cov = jax.lax.psum(uniq_cov, psum_axis)
+        uniq_matches = jax.lax.psum(uniq_matches, psum_axis)
+
+    # per-contig counters from the MERGED histograms (occupancy does not
+    # commute with summation)
+    rc = _boundary_sums(cov, bin_offset, bin_ends)
+    urc = _boundary_sums(uniq_cov, bin_offset, bin_ends)
+    nzc = _boundary_sums((cov > 0).astype(jnp.int32), bin_offset, bin_ends)
+    nzu = _boundary_sums((uniq_cov > 0).astype(jnp.int32), bin_offset,
+                         bin_ends)
+
+    # device cutoffs + validity mask (slimm.hpp:328-343, 351-361, 672-688)
+    nbins_f = (bin_ends - bin_offset).astype(jnp.float32)
+    covp = nzc.astype(jnp.float32) / nbins_f
+    ucovp = nzu.astype(jnp.float32) / nbins_f
+    sel = urc > 0
+    use_cut = q < jnp.float32(1.0)
+    cc = jnp.where(use_cut, _quantile_cut_off_dev(covp, sel, q),
+                   jnp.float32(0.0))
+    ucc = jnp.where(use_cut, _quantile_cut_off_dev(ucovp, sel, q),
+                    jnp.float32(0.0))
+    valid_mask = (rc > 0) & (covp >= cc) & (ucovp >= ucc)
+
+    b = _pass_b_local(read_id, rid, a["t_gbin"], a["nondup"], valid_mask,
+                      lineage, n_contigs=n_contigs,
+                      total_bins_pad=total_bins_pad, n_dense=n_dense,
+                      k_steps=k_steps, window=window)
+    uniq_cov2, taxon_counts = b["uniq_cov2"], b["taxon_counts"]
+    uniq_matches2 = b["uniq_matches2"]
+    if psum_axis is not None:
+        uniq_cov2 = jax.lax.psum(uniq_cov2, psum_axis)
+        taxon_counts = jax.lax.psum(taxon_counts, psum_axis)
+        uniq_matches2 = jax.lax.psum(uniq_matches2, psum_axis)
+    u2 = _boundary_sums(uniq_cov2, bin_offset, bin_ends)
+
+    scalars = jnp.stack([
+        uniq_matches, uniq_matches2,
+        jax.lax.bitcast_convert_type(cc, jnp.int32),
+        jax.lax.bitcast_convert_type(ucc, jnp.int32),
+        jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)])
+    packed = jnp.concatenate([rc, urc, nzc, nzu, u2,
+                              valid_mask.astype(jnp.int32), scalars,
+                              taxon_counts])
+    return dict(packed=packed, cov=cov, uniq_cov=uniq_cov,
+                uniq_cov2=uniq_cov2, pair_lca=b["pair_lca"],
+                pair_rid=b["pair_rid"])
 
 
-@partial(jax.jit, static_argnames=("n_contigs", "total_bins_pad",
-                                   "n_dense", "k_steps"))
-def pass_b(t_read, t_rid, t_gbin, t_valid, valid_mask, lineage,
-           bin_offset, bin_ends,
-           *, n_contigs, total_bins_pad, n_dense, k_steps):
-    out = _pass_b_local(t_read, t_rid, t_gbin, t_valid, valid_mask, lineage,
-                        n_contigs=n_contigs, total_bins_pad=total_bins_pad,
-                        n_dense=n_dense, k_steps=k_steps)
-    out["uniq_reads_count2"] = _boundary_sums(out["uniq_cov2"], bin_offset,
-                                              bin_ends)
-    return out
+@partial(jax.jit, static_argnames=("n_contigs", "total_bins_pad", "n_dense",
+                                   "dedup_window", "k_steps", "window"))
+def fused_profile(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
+                  half, bin_width, lineage, q, *, n_contigs, total_bins_pad,
+                  n_dense, dedup_window, k_steps, window):
+    return _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
+                       half, bin_width, lineage, q, n_contigs=n_contigs,
+                       total_bins_pad=total_bins_pad, n_dense=n_dense,
+                       dedup_window=dedup_window, k_steps=k_steps,
+                       window=window)
+
+
+def unpack_stats(packed_np, n_contigs, n_dense):
+    """Host-side view of the fused `packed` vector."""
+    C = n_contigs
+    s = packed_np
+    scal = s[6 * C:6 * C + _N_SCALARS]
+    return dict(
+        reads_count=s[0:C], uniq_reads_count=s[C:2 * C],
+        nz_cov=s[2 * C:3 * C], nz_uniq=s[3 * C:4 * C],
+        uniq_reads_count2=s[4 * C:5 * C], valid=s[5 * C:6 * C].astype(bool),
+        uniq_matches=int(scal[0]), uniq_matches2=int(scal[1]),
+        cc=np.int32(scal[2]).view(np.float32),
+        ucc=np.int32(scal[3]).view(np.float32),
+        taxon_counts=s[6 * C + _N_SCALARS:6 * C + _N_SCALARS + n_dense])
+
+
+def seg_plan(read_id):
+    """Host-side plan for the segment reductions: (max_run, dedup_window,
+    k_steps, window) from the grouped read-id array."""
+    read_id = np.asarray(read_id)
+    if len(read_id):
+        bnd = np.flatnonzero(np.r_[True, read_id[1:] != read_id[:-1], True])
+        max_run = int(np.diff(bnd).max())
+    else:
+        max_run = 1
+    if max_run - 1 <= MAX_WINDOW:
+        window = max(1, max_run - 1)
+        k_steps = 2
+    else:
+        window = 0
+        k_steps = max(2, int(np.ceil(np.log2(max(max_run, 2)))))
+        k_steps = ((k_steps + 1) // 2) * 2   # bucket to even (recompiles)
+    return max_run, k_steps, window
 
 
 # ---------------------------------------------------------------------------
@@ -287,13 +449,15 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
                    read_id, rid, pos, n_reads: int, hits_count: int,
                    avg_read_length: int,
                    engine: EngineOptions | None = None,
-                   sharded_runner=None) -> ProfileState:
-    """Profile pre-decoded, dedup'd target arrays (the device path).
+                   sharded_runner=None, deduped: bool = True) -> ProfileState:
+    """Profile decoded record arrays (the device path).
 
-    read_id/rid/pos: one entry per distinct (read, contig) with the first
-    hit's position (decoder contract).  Fills the same ProfileState as the
-    scalar oracle; report generation and propagation are shared
-    (slimm_tpu.state).  `sharded_runner`, when given, runs pass A/B
+    read_id/rid/pos: grouped by read id.  With deduped=True (native decoder
+    contract) there is one entry per distinct (read, contig) with the first
+    hit's position; with deduped=False raw multi-hit records are fine and
+    the first-hit-wins rule runs on device.  Fills the same ProfileState as
+    the scalar oracle; report generation and propagation are shared
+    (slimm_tpu.state).  `sharded_runner`, when given, runs the fused pass
     data-parallel over a device mesh (slimm_tpu.parallel) with exact
     integer psum merges.
     """
@@ -320,7 +484,7 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
     st.matches_count = n_reads
 
     timer.start("Analysing alignments, reads and references ....... ")
-    # device contract: targets grouped by read id (ascending); decoders
+    # device contract: records grouped by read id (ascending); decoders
     # guarantee this, but arbitrary callers may not
     read_id = np.asarray(read_id)
     if len(read_id) and not np.all(read_id[:-1] <= read_id[1:]):
@@ -328,16 +492,23 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
         read_id = read_id[order]
         rid = np.asarray(rid)[order]
         pos = np.asarray(pos)[order]
-    n_pad = _bucket(len(read_id), engine.batch_pad)
-    # doubling-scan depth: 2**k_steps >= max targets per read; bucketed to
-    # even values to limit recompiles
-    if len(read_id):
-        bnd = np.flatnonzero(np.r_[True, read_id[1:] != read_id[:-1], True])
-        max_run = int(np.diff(bnd).max())
+    max_run, k_steps, window = seg_plan(read_id)
+    if deduped:
+        dedup_window = 0
+    elif max_run - 1 <= MAX_WINDOW:
+        dedup_window = max(1, max_run - 1)
     else:
-        max_run = 1
-    k_steps = max(2, int(np.ceil(np.log2(max(max_run, 2)))))
-    k_steps = ((k_steps + 1) // 2) * 2
+        # pathological duplicate span: host first-hit dedup (grouped +
+        # ascending read ids by this point), then no device dedup needed
+        key = read_id.astype(np.int64) * n_contigs + np.asarray(rid)
+        _, first = np.unique(key, return_index=True)
+        first.sort()
+        read_id = read_id[first]
+        rid = np.asarray(rid)[first]
+        pos = np.asarray(pos)[first]
+        max_run, k_steps, window = seg_plan(read_id)
+        dedup_window = 0
+    n_pad = _bucket(len(read_id), engine.batch_pad)
 
     def pad(a, fill):
         out = np.full(n_pad, fill, np.int32)
@@ -352,27 +523,32 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
     bin_ends = (st.bin_offset + st.nbins).astype(np.int32)
     half = np.int32(avg_read_length // 2)
     bw = np.int32(options.bin_width)
+    q = np.float32(options.cov_cut_off)
 
+    kw = dict(n_contigs=n_contigs, total_bins_pad=total_bins_pad,
+              n_dense=dense.n_dense, dedup_window=dedup_window,
+              k_steps=k_steps, window=window)
     if sharded_runner is not None:
-        a = sharded_runner.pass_a(
-            read_id_p, rid_p, pos_p, lengths_u32, bin_offset, bin_ends,
-            half, bw, n_contigs=n_contigs, total_bins_pad=total_bins_pad)
+        out = sharded_runner.fused(read_id_p, rid_p, pos_p, lengths_u32,
+                                   bin_offset, bin_ends, half, bw,
+                                   dense.lineage, q, **kw)
     else:
-        a = pass_a(read_id_p, rid_p, pos_p, jnp.asarray(lengths_u32),
-                   jnp.asarray(bin_offset), jnp.asarray(bin_ends),
-                   half, bw, n_contigs=n_contigs,
-                   total_bins_pad=total_bins_pad)
+        out = fused_profile(read_id_p, rid_p, pos_p,
+                            jnp.asarray(lengths_u32),
+                            jnp.asarray(bin_offset), jnp.asarray(bin_ends),
+                            half, bw, jnp.asarray(dense.lineage), q, **kw)
 
-    stats5 = np.asarray(a["stats5"])      # one host round trip
-    st.reads_count = stats5[0].astype(np.int64)
-    st.uniq_reads_count = stats5[1].astype(np.int64)
-    st._nz_cache["cov"] = stats5[2].astype(np.int64)
-    st._nz_cache["uniq_cov"] = stats5[3].astype(np.int64)
-    st.uniq_matches_count = int(stats5[4, 0])
+    stats = unpack_stats(np.asarray(out["packed"]), n_contigs, dense.n_dense)
+    st.reads_count = stats["reads_count"].astype(np.int64)
+    st.uniq_reads_count = stats["uniq_reads_count"].astype(np.int64)
+    st._nz_cache["cov"] = stats["nz_cov"].astype(np.int64)
+    st._nz_cache["uniq_cov"] = stats["nz_uniq"].astype(np.int64)
+    st.uniq_matches_count = stats["uniq_matches"]
     st.uniq_hits_count = st.uniq_matches_count  # identical by construction
     if engine.fetch_coverage:
-        st.cov = np.asarray(a["cov"])[:total_bins].astype(np.uint32)
-        st.uniq_cov = np.asarray(a["uniq_cov"])[:total_bins].astype(np.uint32)
+        st.cov = np.asarray(out["cov"])[:total_bins].astype(np.uint32)
+        st.uniq_cov = np.asarray(out["uniq_cov"])[:total_bins].astype(
+            np.uint32)
     st.compute_abundances()
     timer.lap()
 
@@ -380,37 +556,33 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
         options.min_reads = 1 + (st.matches_count - 1) // 10000
 
     timer.start("Filtering unlikely sequences ..................... ")
+    # host recompute for the failure counters + memoized report cutoffs;
+    # bit-identical to the device mask (same integer stats, same f32
+    # sequential algorithm — asserted in tests)
     valid = st.compute_valid_refs()
+    if not np.array_equal(np.asarray(valid), stats["valid"]):  # pragma: no cover
+        print("[WARNING] device/host validity mask mismatch; using host",
+              file=sys.stderr)
     timer.lap()
 
     timer.start("Assigning reads to Least Common Ancestor (LCA) ... ")
-    if sharded_runner is not None:
-        b = sharded_runner.pass_b(
-            a, np.asarray(valid), dense.lineage, n_contigs=n_contigs,
-            total_bins_pad=total_bins_pad, n_dense=dense.n_dense,
-            k_steps=k_steps)
-    else:
-        b = pass_b(a["t_read"], a["t_rid"], a["t_gbin"], a["t_valid"],
-                   jnp.asarray(valid), jnp.asarray(dense.lineage),
-                   jnp.asarray(bin_offset), jnp.asarray(bin_ends),
-                   n_contigs=n_contigs, total_bins_pad=total_bins_pad,
-                   n_dense=dense.n_dense, k_steps=k_steps)
-
-    st.uniq_reads_count2 = np.asarray(b["uniq_reads_count2"]).astype(np.int64)
+    st.uniq_reads_count2 = stats["uniq_reads_count2"].astype(np.int64)
     if engine.fetch_coverage:
-        st.uniq_cov2 = np.asarray(b["uniq_cov2"])[:total_bins].astype(np.uint32)
-    st.uniq_matches_count2 = int(b["uniq_matches2"])
+        st.uniq_cov2 = np.asarray(out["uniq_cov2"])[:total_bins].astype(
+            np.uint32)
+    st.uniq_matches_count2 = stats["uniq_matches2"]
 
     # dense LCA counts + children pairs → taxid dicts (host finalize)
-    counts = np.asarray(b["taxon_counts"])
+    counts = stats["taxon_counts"]
     for d in np.flatnonzero(counts > 0).tolist():
         tid = int(dense.dense_to_tid[d])
         st.taxon_id__read_count[tid] = (
             st.taxon_id__read_count.get(tid, 0) + int(counts[d]))
-    pair_lca = np.asarray(b["pair_lca"]).ravel()
-    pair_rid = np.asarray(b["pair_rid"]).ravel()
+    pair_lca = np.asarray(out["pair_lca"]).ravel()
+    pair_rid = np.asarray(out["pair_rid"]).ravel()
     keep = pair_lca >= 0
-    pairs = np.unique(np.stack([pair_lca[keep], pair_rid[keep]], axis=1), axis=0)
+    pairs = np.unique(np.stack([pair_lca[keep], pair_rid[keep]], axis=1),
+                      axis=0)
     for d, r in pairs.tolist():
         tid = int(dense.dense_to_tid[d])
         st.taxon_id__children.setdefault(tid, set()).add(int(r))
