@@ -275,19 +275,52 @@ def _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
     multi_end = end_mask & (cnt > 1)
 
     # --- vectorized LCA over the dense lineage matrix ---
+    # "All of a read's valid targets share the same taxid at level l" is
+    # equivalent to "every CONSECUTIVE pair of valid targets agrees at l"
+    # (targets are grouped per read).  So instead of (N, 8) segment
+    # min/max scans, compute one 8-bit disagreement mask per target
+    # against its nearest PRECEDING valid target and OR it to the segment
+    # end — ~5x less HBM traffic than the min/max formulation.
+    if window > 0:
+        prev_rid = jnp.full_like(rid, -1)
+        prev_found = jnp.zeros(rid.shape, bool)
+        for d in range(1, window + 1):
+            same = read_id == _shift_right(read_id, d, jnp.int32(-2))
+            cand = same & _shift_right(tmask, d, False) & ~prev_found
+            prev_rid = jnp.where(cand, _shift_right(rid, d, jnp.int32(0)),
+                                 prev_rid)
+            prev_found = prev_found | cand
+    else:
+        # long runs: log-depth "nearest preceding valid target" via a
+        # doubling scan carrying (found, rid) as found*C + rid
+        enc = jnp.where(tmask, rid, -1)
+        # inclusive scan keeping the LAST valid rid seen in the segment,
+        # then shift by one to make it exclusive (the *preceding* target)
+        # combine(current, earlier): keep the rightmost valid rid
+        last_valid = _seg_end_reduce(  # runs at every position, not only ends
+            read_id, enc, lambda cur, earl: jnp.where(cur >= 0, cur, earl),
+            jnp.int32(-1), k_steps=k_steps, window=0)
+        same1 = read_id == _shift_right(read_id, 1, jnp.int32(-2))
+        prev_rid = jnp.where(same1,
+                             _shift_right(last_valid, 1, jnp.int32(-1)), -1)
+        prev_found = prev_rid >= 0
     lv = lineage[rid_c]                                   # (N, 8)
-    big = jnp.int32(n_dense)
-    lv_min = jnp.where(tmask[:, None], lv, big)
-    lv_max = jnp.where(tmask[:, None], lv, -1)
-    mn8 = _seg_end_reduce(read_id, lv_min, jnp.minimum, big,
-                          k_steps=k_steps, window=window)
-    mx8 = _seg_end_reduce(read_id, lv_max, jnp.maximum, jnp.int32(-1),
-                          k_steps=k_steps, window=window)
+    lv_prev = lineage[jnp.clip(prev_rid, 0, n_contigs - 1)]
+    disag_bits = jnp.where(
+        tmask & prev_found,
+        jnp.sum(jnp.where(lv != lv_prev,
+                          (1 << jnp.arange(8, dtype=jnp.int32))[None, :],
+                          0), axis=1),
+        0)
+    disag = _seg_end_reduce(read_id, disag_bits, jnp.bitwise_or,
+                            jnp.int32(0), k_steps=k_steps, window=window)
     rid_mx = _seg_end_reduce(read_id, jnp.where(tmask, rid, -1), jnp.maximum,
                              jnp.int32(-1), k_steps=k_steps, window=window)
-    eq = (mn8 == mx8) & multi_end[:, None]                # (N, 8), ends only
-    has_agree = eq.any(axis=1)
-    first_level = jnp.where(has_agree, jnp.argmax(eq, axis=1), 7)
+    # first agreeing level = lowest zero bit of the OR'd disagreement mask
+    z = jnp.bitwise_and(jnp.bitwise_not(disag), 0xFF)
+    lsb = jnp.bitwise_and(z, -z)
+    first_level = jnp.where(z != 0,
+                            jax.lax.population_count(lsb - 1), 7)
     # lineage[max_rid][first agreeing level (or 7)] — slimm.hpp:516-531
     lca_end = lineage[jnp.clip(rid_mx, 0, n_contigs - 1), first_level]
 

@@ -145,13 +145,16 @@ class AlignmentFile:
         """(qname, flag, rid, pos, seq_len) tuples — oracle/test input."""
         return self._records
 
-    def load(self) -> RecordBatch:
+    def load(self, dedup: bool = True) -> RecordBatch:
         """Build the dense arrays + read-name dictionary.
 
         Read keys get the ".1"/".2" pair suffix from the first/last-of-pair
         flags (slimm.hpp:204-209); ids are assigned in first-appearance order.
         Unmapped or invalid-rid records are excluded (slimm.hpp:197-198) but
         still count toward the average-read-length sample.
+
+        dedup=False emits RAW grouped records (duplicates included) for the
+        engine's on-device first-hit dedup path.
         """
         total_len = 0
         n_sampled = 0
@@ -179,7 +182,11 @@ class AlignmentFile:
                 keys.append(key)
             hits += 1
             pair = (idx, rid)
-            if pair not in seen:   # first hit wins (read_stat.hpp:116-135)
+            if not dedup:
+                read_ids.append(idx)
+                rids.append(rid)
+                poss.append(pos)
+            elif pair not in seen:  # first hit wins (read_stat.hpp:116-135)
                 seen.add(pair)
                 read_ids.append(idx)
                 rids.append(rid)

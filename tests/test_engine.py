@@ -108,3 +108,70 @@ def test_engine_matches_oracle_no_multimaps(toy_dir):
     records = [(f"r{k}", 0, k % 5, 50 * k % 3000, 100) for k in range(300)]
     st_o, st_e = run_both(toy_dir, records=records)
     assert_states_equal(st_o, st_e)
+
+
+def test_engine_long_runs_doubling_scan(toy_dir):
+    # reads hitting ALL 6 contigs: max_run-1 > MAX_WINDOW forces the
+    # log-depth doubling-scan path for the segment reductions
+    rng = np.random.default_rng(9)
+    records = []
+    for k in range(40):
+        for rid in range(6):
+            records.append((f"m{k}", 0, rid, int(rng.integers(0, 2500)), 100))
+    for k in range(150):  # plus unique background so filtering keeps refs
+        records.append((f"u{k}", 0, k % 5, int(rng.integers(0, 2500)), 100))
+    st_o, st_e = run_both(toy_dir, records=records)
+    assert_states_equal(st_o, st_e)
+
+
+def _run_raw_device_dedup(toy_dir, records):
+    """Engine path on RAW (non-dedup'd) records — on-device first-hit dedup."""
+    from slimm_tpu.engine.pipeline import profile_arrays
+
+    db = build_toy_db(toy_dir)
+    sam_path = write_sam(toy_dir.dir, records, name="raw_case.sam")
+
+    af = AlignmentFile(sam_path)
+    oracle = OracleProfiler(ProfileOptions(), copy.deepcopy(db).ac__taxid,
+                            copy.deepcopy(db).taxid__name,
+                            list(zip(af.contig_names,
+                                     af.contig_lengths.tolist())))
+    st_o = oracle.run(af.raw_records())
+
+    batch = af.load(dedup=False)   # raw grouped records
+    st_e = profile_arrays(
+        ProfileOptions(), copy.deepcopy(db), af.contig_names,
+        af.contig_lengths, batch.read_id.astype(np.int32), batch.rid,
+        batch.pos, batch.n_reads, batch.hits_count, batch.avg_read_length,
+        engine=EngineOptions(phase_log=False), deduped=False)
+    return st_o, st_e
+
+
+def test_engine_device_dedup_matches_oracle(toy_dir):
+    # duplicates within the shift window (spans <= MAX_WINDOW)
+    rng = np.random.default_rng(11)
+    records = []
+    for k in range(120):
+        rid = int(rng.integers(0, 5))
+        records.append((f"d{k}", 0, rid, int(rng.integers(0, 2500)), 100))
+        if k % 3 == 0:  # a second hit on the SAME contig — must be dropped
+            records.append((f"d{k}", 0, rid, int(rng.integers(0, 2500)), 100))
+        if k % 4 == 0:  # and a hit on another contig
+            records.append((f"d{k}", 0, (rid + 1) % 5,
+                            int(rng.integers(0, 2500)), 100))
+    st_o, st_e = _run_raw_device_dedup(toy_dir, records)
+    assert_states_equal(st_o, st_e)
+
+
+def test_engine_device_dedup_wide_span_host_fallback(toy_dir):
+    # duplicate spans wider than MAX_WINDOW: r hits c0,c1,c2,c3,c4,c0 —
+    # the engine must fall back to host dedup and still match
+    rng = np.random.default_rng(13)
+    records = []
+    for k in range(60):
+        for rid in [0, 1, 2, 3, 4, 0]:
+            records.append((f"w{k}", 0, rid, int(rng.integers(0, 2500)), 100))
+    for k in range(150):
+        records.append((f"u{k}", 0, k % 5, int(rng.integers(0, 2500)), 100))
+    st_o, st_e = _run_raw_device_dedup(toy_dir, records)
+    assert_states_equal(st_o, st_e)
