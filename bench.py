@@ -98,12 +98,15 @@ def bench_device(w, reps):
     half = np.int32(w["avg_read_len"] // 2)
     q = np.float32(0.95)
 
+    import jax
+    use_pallas = jax.devices()[0].platform != "cpu"
+
     def step():
         out = fused_profile(
             d_read, d_rid, d_pos, d_len, d_off, d_ends, half, bin_width,
             d_lineage, q, n_contigs=n_contigs, total_bins_pad=total_bins_pad,
             n_dense=w["n_dense"], dedup_window=max(1, window),
-            k_steps=k_steps, window=window)
+            k_steps=k_steps, window=window, use_pallas=use_pallas)
         return out["packed"]
 
     np.asarray(step())  # warmup/compile

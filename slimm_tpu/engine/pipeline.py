@@ -163,9 +163,40 @@ def _backfill_from_ends(t_read, end_values, end_mask, fill, *, k_steps,
     return y
 
 
+def _kernel_fits(idx, n_bins_pad):
+    from ..ops.hist import CHUNK, HIST_MAX_BINS
+    return (n_bins_pad % 1024 == 0 and n_bins_pad <= HIST_MAX_BINS
+            and idx.shape[0] % CHUNK == 0)
+
+
+def _hist2(idx, w1, w2, n_bins_pad, use_pallas):
+    """Two histograms over one index vector: MXU one-hot kernel on TPU
+    (slimm_tpu.ops.hist), XLA scatter otherwise.  Records with both
+    weights false contribute nothing either way."""
+    if use_pallas and _kernel_fits(idx, n_bins_pad):
+        from ..ops import mxu_hist2
+        return mxu_hist2(idx, w1, w2, n_bins_pad=n_bins_pad)
+    i1 = jnp.where(w1, idx, n_bins_pad)
+    i2 = jnp.where(w2, idx, n_bins_pad)
+    h1 = jnp.zeros(n_bins_pad, jnp.int32).at[i1].add(
+        w1.astype(jnp.int32), mode="drop")
+    h2 = jnp.zeros(n_bins_pad, jnp.int32).at[i2].add(
+        w2.astype(jnp.int32), mode="drop")
+    return h1, h2
+
+
+def _hist1(idx, w, n_bins_pad, use_pallas):
+    if use_pallas and _kernel_fits(idx, n_bins_pad):
+        from ..ops import mxu_hist
+        return mxu_hist(idx, w, n_bins_pad=n_bins_pad)
+    i = jnp.where(w, idx, n_bins_pad)
+    return jnp.zeros(n_bins_pad, jnp.int32).at[i].add(
+        w.astype(jnp.int32), mode="drop")
+
+
 def _pass_a_local(read_id, rid, pos, lengths_u32, bin_offset,
                   half, bin_width, *, n_contigs, total_bins_pad,
-                  dedup_window, k_steps, window):
+                  dedup_window, k_steps, window, use_pallas=False):
     """Grouped records → dedup mask, binning, uniqueness, coverage.
 
     read_id/rid/pos are int32[N_pad] record arrays padded with read_id ==
@@ -200,13 +231,9 @@ def _pass_a_local(read_id, rid, pos, lengths_u32, bin_offset,
     t_uniq = nondup & (total == 1)
     uniq_matches = jnp.sum((end_mask & (cnt_end == 1)).astype(jnp.int32))
 
-    # coverage histograms (plain 1-D scatters; padding drops)
-    hist_idx = jnp.where(nondup, t_gbin, total_bins_pad)
-    cov = jnp.zeros(total_bins_pad, jnp.int32).at[hist_idx].add(
-        nondup.astype(jnp.int32), mode="drop")
-    uniq_idx = jnp.where(t_uniq, t_gbin, total_bins_pad)
-    uniq_cov = jnp.zeros(total_bins_pad, jnp.int32).at[uniq_idx].add(
-        t_uniq.astype(jnp.int32), mode="drop")
+    # coverage histograms (MXU one-hot kernel on TPU, scatters elsewhere)
+    cov, uniq_cov = _hist2(t_gbin, nondup, t_uniq, total_bins_pad,
+                           use_pallas)
 
     return dict(t_gbin=t_gbin, nondup=nondup, cov=cov, uniq_cov=uniq_cov,
                 uniq_matches=uniq_matches)
@@ -255,7 +282,8 @@ def _quantile_cut_off_dev(vals, mask, q):
 
 
 def _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
-                  *, n_contigs, total_bins_pad, n_dense, k_steps, window):
+                  *, n_contigs, total_bins_pad, n_dense, k_steps, window,
+                  use_pallas=False):
     """Filtered re-dedup + vectorized LCA (slimm.hpp:351-392, 516-557).
 
     One fused scatter covers both the uniq_cov2 histogram and the per-taxid
@@ -324,15 +352,14 @@ def _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
     # lineage[max_rid][first agreeing level (or 7)] — slimm.hpp:516-531
     lca_end = lineage[jnp.clip(rid_mx, 0, n_contigs - 1), first_level]
 
-    # ONE fused scatter: [0, Bp) = uniq_cov2 histogram, [Bp, Bp+n_dense) =
-    # per-dense-taxid LCA counts; padding index Bp+n_dense drops
-    idx = jnp.where(t_u2, t_gbin,
-                    jnp.where(multi_end, total_bins_pad + lca_end,
-                              total_bins_pad + n_dense))
-    combined = jnp.zeros(total_bins_pad + n_dense, jnp.int32).at[idx].add(
-        (t_u2 | multi_end).astype(jnp.int32), mode="drop")
+    # ONE fused histogram: [0, Bp) = uniq_cov2, [Bp, Bp+n_dense) =
+    # per-dense-taxid LCA counts (records with weight 0 contribute nothing)
+    dom = -(-(total_bins_pad + n_dense) // 1024) * 1024
+    idx = jnp.where(t_u2, t_gbin, total_bins_pad + jnp.clip(lca_end, 0,
+                                                            n_dense - 1))
+    combined = _hist1(idx, t_u2 | multi_end, dom, use_pallas)
     uniq_cov2 = combined[:total_bins_pad]
-    taxon_counts = combined[total_bins_pad:]
+    taxon_counts = combined[total_bins_pad:total_bins_pad + n_dense]
 
     # (lca, contig) pairs for children sets; -1 marks padding
     lca_b = _backfill_from_ends(read_id, jnp.where(multi_end, lca_end, -1),
@@ -354,7 +381,8 @@ _N_SCALARS = 8
 
 def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                 half, bin_width, lineage, q, *, n_contigs, total_bins_pad,
-                n_dense, dedup_window, k_steps, window, psum_axis=None):
+                n_dense, dedup_window, k_steps, window, use_pallas=False,
+                psum_axis=None):
     """The whole per-file profile in one traced computation.
 
     Returns dict with `packed` (int32[6*C + 8 + n_dense]: reads_count,
@@ -368,7 +396,7 @@ def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                       half, bin_width, n_contigs=n_contigs,
                       total_bins_pad=total_bins_pad,
                       dedup_window=dedup_window, k_steps=k_steps,
-                      window=window)
+                      window=window, use_pallas=use_pallas)
     cov, uniq_cov, uniq_matches = a["cov"], a["uniq_cov"], a["uniq_matches"]
     if psum_axis is not None:
         cov = jax.lax.psum(cov, psum_axis)
@@ -398,7 +426,8 @@ def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
     b = _pass_b_local(read_id, rid, a["t_gbin"], a["nondup"], valid_mask,
                       lineage, n_contigs=n_contigs,
                       total_bins_pad=total_bins_pad, n_dense=n_dense,
-                      k_steps=k_steps, window=window)
+                      k_steps=k_steps, window=window,
+                      use_pallas=use_pallas)
     uniq_cov2, taxon_counts = b["uniq_cov2"], b["taxon_counts"]
     uniq_matches2 = b["uniq_matches2"]
     if psum_axis is not None:
@@ -421,15 +450,16 @@ def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
 
 
 @partial(jax.jit, static_argnames=("n_contigs", "total_bins_pad", "n_dense",
-                                   "dedup_window", "k_steps", "window"))
+                                   "dedup_window", "k_steps", "window",
+                                   "use_pallas"))
 def fused_profile(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                   half, bin_width, lineage, q, *, n_contigs, total_bins_pad,
-                  n_dense, dedup_window, k_steps, window):
+                  n_dense, dedup_window, k_steps, window, use_pallas=False):
     return _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                        half, bin_width, lineage, q, n_contigs=n_contigs,
                        total_bins_pad=total_bins_pad, n_dense=n_dense,
                        dedup_window=dedup_window, k_steps=k_steps,
-                       window=window)
+                       window=window, use_pallas=use_pallas)
 
 
 def unpack_stats(packed_np, n_contigs, n_dense):
@@ -566,10 +596,12 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
                                    bin_offset, bin_ends, half, bw,
                                    dense.lineage, q, **kw)
     else:
+        use_pallas = jax.devices()[0].platform != "cpu"
         out = fused_profile(read_id_p, rid_p, pos_p,
                             jnp.asarray(lengths_u32),
                             jnp.asarray(bin_offset), jnp.asarray(bin_ends),
-                            half, bw, jnp.asarray(dense.lineage), q, **kw)
+                            half, bw, jnp.asarray(dense.lineage), q,
+                            use_pallas=use_pallas, **kw)
 
     stats = unpack_stats(np.asarray(out["packed"]), n_contigs, dense.n_dense)
     st.reads_count = stats["reads_count"].astype(np.int64)

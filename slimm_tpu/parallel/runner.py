@@ -48,7 +48,8 @@ class ShardedRunner:
         order = np.argsort(shard, kind="stable")  # record order kept per shard
         shard_sorted = shard[order]
         counts = np.bincount(shard_sorted[shard_sorted >= 0], minlength=S)
-        n_s = _bucket(int(counts.max()) if counts.size else 1, 1024)
+        # 2048-aligned so the pallas histogram kernel applies per shard
+        n_s = _bucket(int(counts.max()) if counts.size else 1, 2048)
         out_read = np.full((S, n_s), -1, np.int32)
         out_rid = np.zeros((S, n_s), np.int32)
         out_pos = np.zeros((S, n_s), np.int32)
@@ -71,11 +72,14 @@ class ShardedRunner:
             return fn
         mesh = self.mesh
 
+        use_pallas = self.mesh.devices.flat[0].platform != "cpu"
+
         def shard_fn(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                      half, bin_width, lineage, q):
             out = _fused_core(read_id[0], rid[0], pos[0], lengths_u32,
                               bin_offset, bin_ends, half, bin_width,
-                              lineage, q, psum_axis="data", **kw)
+                              lineage, q, psum_axis="data",
+                              use_pallas=use_pallas, **kw)
             return (out["packed"], out["cov"], out["uniq_cov"],
                     out["uniq_cov2"], out["pair_lca"][None],
                     out["pair_rid"][None])
