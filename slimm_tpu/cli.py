@@ -154,6 +154,23 @@ def cmd_profile(args) -> int:
 
     total_hits = 0
     import copy
+
+    # directory mode on a single device: stack files into grouped device
+    # dispatches (one jit'ed lax.scan per group) — the tunnel round trip
+    # costs as much as millions of records of compute
+    batched_states = None
+    if (not args.no_device and runner is None and len(paths) > 1
+            and args.trace_dir is None):
+        from .engine.pipeline import profile_files_batched
+        batched_states = {}
+        group = max(1, engine.files_per_dispatch)
+        for i in range(0, len(paths), group):
+            per_group_options = copy.deepcopy(options)
+            for path, st in profile_files_batched(
+                    per_group_options, db, paths[i:i + group],
+                    engine=engine):
+                batched_states[path] = st
+
     for n, path in enumerate(paths):
         print(f"\nReading {n + 1} of {len(paths)} files ... "
               f"({path.rsplit('/', 1)[-1]})\n"
@@ -163,7 +180,9 @@ def cmd_profile(args) -> int:
         if args.trace_dir:
             import jax
             jax.profiler.start_trace(args.trace_dir)
-        if args.no_device:
+        if batched_states is not None:
+            state = batched_states[path]
+        elif args.no_device:
             from .io import AlignmentFile
             af = AlignmentFile(path)
             prof = OracleProfiler(per_file_options, db.ac__taxid,

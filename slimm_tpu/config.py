@@ -57,6 +57,9 @@ class EngineOptions:
     # reports and oracle-parity checks; the hot path only needs the small
     # per-contig stats).
     fetch_coverage: bool = True
+    # Directory mode: files profiled per fused device dispatch (a jit'ed
+    # lax.scan over the file axis; amortizes the per-dispatch round trip).
+    files_per_dispatch: int = 8
     # Emit a jax.profiler trace directory when set.
     trace_dir: str | None = None
     # Per-phase timing log to stderr, same shape as the reference.

@@ -603,6 +603,15 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
                             half, bw, jnp.asarray(dense.lineage), q,
                             use_pallas=use_pallas, **kw)
 
+    _finalize_state(st, out, dense, total_bins, engine, options, timer)
+    return st
+
+
+def _finalize_state(st, out, dense, total_bins, engine, options, timer):
+    """Fill a ProfileState from the fused dispatch outputs (host tail
+    shared by the single-file and batched paths).  `out` values may be
+    device arrays or numpy views (batched path)."""
+    n_contigs = len(st.accessions)
     stats = unpack_stats(np.asarray(out["packed"]), n_contigs, dense.n_dense)
     st.reads_count = stats["reads_count"].astype(np.int64)
     st.uniq_reads_count = stats["uniq_reads_count"].astype(np.int64)
@@ -681,3 +690,166 @@ def profile_file(options: ProfileOptions, db: SlimmDatabase, path: str,
         batch.read_id.astype(np.int32), batch.rid, batch.pos,
         batch.n_reads, batch.hits_count, batch.avg_read_length,
         engine=engine, sharded_runner=sharded_runner)
+
+
+# ---------------------------------------------------------------------------
+# batched multi-file dispatch (directory mode)
+# ---------------------------------------------------------------------------
+#
+# The axon host<->device round trip costs ~28 ms per dispatch — comparable
+# to the compute for millions of records.  Directory mode therefore stacks
+# K files into ONE jit'ed lax.scan over the file axis: one dispatch, one
+# packed fetch for all K files.  Per-file bin tables (bin_width defaults to
+# each file's average read length, slimm.hpp:412-413) ride along as dynamic
+# (K, C) inputs; only the padded sizes and the segment plan are static
+# (maxima over the group).
+
+
+@partial(jax.jit, static_argnames=("n_contigs", "total_bins_pad", "n_dense",
+                                   "dedup_window", "k_steps", "window",
+                                   "use_pallas", "emit_coverage"))
+def fused_profile_batch(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
+                        half, bin_width, lineage, q, *, n_contigs,
+                        total_bins_pad, n_dense, dedup_window, k_steps,
+                        window, use_pallas=False, emit_coverage=True):
+    """read_id/rid/pos: (K, N); bin_offset/bin_ends: (K, C); half/bin_width:
+    (K,).  Returns the fused outputs stacked over the leading file axis."""
+
+    def body(carry, xs):
+        r, i, p, off, ends, hf, bw = xs
+        out = _fused_core(r, i, p, lengths_u32, off, ends, hf, bw,
+                          lineage, q, n_contigs=n_contigs,
+                          total_bins_pad=total_bins_pad, n_dense=n_dense,
+                          dedup_window=dedup_window, k_steps=k_steps,
+                          window=window, use_pallas=use_pallas)
+        ys = (out["packed"], out["pair_lca"], out["pair_rid"])
+        if emit_coverage:
+            ys = ys + (out["cov"], out["uniq_cov"], out["uniq_cov2"])
+        return carry, ys
+
+    _, ys = jax.lax.scan(body, jnp.int32(0),
+                         (read_id, rid, pos, bin_offset, bin_ends,
+                          half, bin_width))
+    out = dict(packed=ys[0], pair_lca=ys[1], pair_rid=ys[2])
+    if emit_coverage:
+        out.update(cov=ys[3], uniq_cov=ys[4], uniq_cov2=ys[5])
+    return out
+
+
+def profile_files_batched(options: ProfileOptions, db: SlimmDatabase,
+                          paths: list, engine: EngineOptions | None = None
+                          ) -> list:
+    """Profile a group of SAM/BAM files sharing one reference (identical
+    BAM headers) in a single device dispatch.  Returns [(path,
+    ProfileState | None); None marks an empty file (warned, like the
+    reference's zero-mapped-reads path].  Falls back to per-file dispatch
+    when headers differ."""
+    import copy as _copy
+
+    engine = engine or EngineOptions()
+    decoded = []
+    for path in paths:
+        af = open_alignment_file(path, engine)
+        decoded.append((path, af, af.load()))
+    names0 = list(decoded[0][1].contig_names)
+    if any(list(af.contig_names) != names0 for _, af, _ in decoded[1:]):
+        return [(path, profile_file(options, db, path, engine=engine))
+                for path, _, _ in decoded]
+
+    timer = PhaseTimer(enabled=engine.phase_log)
+    timer.start("Intializing coverages for all reference genome ... ")
+    dense = tensorize(db, names0)
+    n_contigs = len(names0)
+    lengths = np.asarray(decoded[0][1].contig_lengths)
+
+    preps = []      # (path, st, options_k, arrays...) per non-empty file
+    empties = []
+    for path, af, batch in decoded:
+        opts_k = _copy.deepcopy(options)
+        st = ProfileState(options=opts_k, ac__taxid=db.ac__taxid,
+                          taxid__name=db.taxid__name)
+        st.avg_read_length = batch.avg_read_length
+        if opts_k.bin_width == 0:
+            opts_k.bin_width = batch.avg_read_length
+        st.init_contigs(names0, lengths, opts_k.bin_width)
+        st.hits_count = batch.hits_count
+        st.matches_count = batch.n_reads
+        if batch.hits_count == 0:
+            empties.append((path, st))
+            continue
+        preps.append((path, st, opts_k, batch))
+    timer.lap()
+
+    if not preps:
+        for _, st in empties:
+            print("[WARNING] No mapped reads found in BAM file!",
+                  file=sys.stderr)
+        return [(p, s) for p, s in empties]
+
+    timer.start("Analysing alignments, reads and references ....... ")
+    plans = [seg_plan(b.read_id) for _, _, _, b in preps]
+    max_run = max(p[0] for p in plans)
+    if max_run - 1 <= MAX_WINDOW:
+        window = max(1, max_run - 1)
+        k_steps = 2
+    else:
+        window = 0
+        k_steps = max(2, int(np.ceil(np.log2(max(max_run, 2)))))
+        k_steps = ((k_steps + 1) // 2) * 2
+    K = len(preps)
+    n_pad = _bucket(max(len(b.read_id) for _, _, _, b in preps),
+                    engine.batch_pad)
+    total_bins = max(int(s.nbins.sum()) for _, s, _, _ in preps)
+    total_bins_pad = -(-total_bins // 1024) * 1024
+
+    read_id = np.full((K, n_pad), -1, np.int32)
+    rid = np.zeros((K, n_pad), np.int32)
+    pos = np.zeros((K, n_pad), np.int32)
+    bin_offset = np.zeros((K, n_contigs), np.int32)
+    bin_ends = np.zeros((K, n_contigs), np.int32)
+    half = np.zeros(K, np.int32)
+    bwidth = np.zeros(K, np.int32)
+    for k, (path, st, opts_k, b) in enumerate(preps):
+        n = len(b.read_id)
+        read_id[k, :n] = b.read_id
+        rid[k, :n] = b.rid
+        pos[k, :n] = b.pos
+        bin_offset[k] = st.bin_offset.astype(np.int32)
+        bin_ends[k] = (st.bin_offset + st.nbins).astype(np.int32)
+        half[k] = b.avg_read_length // 2
+        bwidth[k] = opts_k.bin_width
+
+    use_pallas = jax.devices()[0].platform != "cpu"
+    out = fused_profile_batch(
+        jnp.asarray(read_id), jnp.asarray(rid), jnp.asarray(pos),
+        jnp.asarray(lengths.astype(np.uint32)), jnp.asarray(bin_offset),
+        jnp.asarray(bin_ends), jnp.asarray(half), jnp.asarray(bwidth),
+        jnp.asarray(dense.lineage), np.float32(options.cov_cut_off),
+        n_contigs=n_contigs, total_bins_pad=total_bins_pad,
+        n_dense=dense.n_dense, dedup_window=0, k_steps=k_steps,
+        window=window, use_pallas=use_pallas,
+        emit_coverage=engine.fetch_coverage)
+    packed = np.asarray(out["packed"])          # one fetch for all files
+    pair_lca = np.asarray(out["pair_lca"])
+    pair_rid = np.asarray(out["pair_rid"])
+    cov = np.asarray(out["cov"]) if engine.fetch_coverage else None
+    uniq_cov = np.asarray(out["uniq_cov"]) if engine.fetch_coverage else None
+    uniq_cov2 = (np.asarray(out["uniq_cov2"]) if engine.fetch_coverage
+                 else None)
+    timer.lap()
+
+    results = {path: st for path, st in empties}
+    for _, st in empties:
+        print("[WARNING] No mapped reads found in BAM file!", file=sys.stderr)
+    for k, (path, st, opts_k, b) in enumerate(preps):
+        tb = int(st.nbins.sum())
+        out_k = dict(packed=packed[k], pair_lca=pair_lca[k],
+                     pair_rid=pair_rid[k])
+        if engine.fetch_coverage:
+            out_k.update(cov=cov[k], uniq_cov=uniq_cov[k],
+                         uniq_cov2=uniq_cov2[k])
+        t2 = PhaseTimer(enabled=False)
+        t2.start("")
+        _finalize_state(st, out_k, dense, tb, engine, opts_k, t2)
+        results[path] = st
+    return [(path, results[path]) for path, _, _ in decoded]

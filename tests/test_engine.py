@@ -175,3 +175,32 @@ def test_engine_device_dedup_wide_span_host_fallback(toy_dir):
         records.append((f"u{k}", 0, k % 5, int(rng.integers(0, 2500)), 100))
     st_o, st_e = _run_raw_device_dedup(toy_dir, records)
     assert_states_equal(st_o, st_e)
+
+
+def test_batched_files_match_per_file(toy_dir, tmp_path):
+    # K files with different record mixes (and thus different auto
+    # bin_widths) through ONE batched dispatch == per-file dispatches
+    from slimm_tpu.engine.pipeline import profile_files_batched
+
+    rng = np.random.default_rng(21)
+    paths = []
+    for k in range(3):
+        records = []
+        for i in range(150 + 40 * k):
+            rid = int(rng.integers(0, 5))
+            records.append((f"f{k}_r{i}", 0, rid,
+                            int(rng.integers(0, 2500)), 100 + 10 * k))
+            if i % 7 == 0:
+                records.append((f"f{k}_r{i}", 0, (rid + 2) % 5,
+                                int(rng.integers(0, 2500)), 100 + 10 * k))
+        paths.append(write_sam(str(tmp_path), records, name=f"batch{k}.sam"))
+
+    db = build_toy_db(toy_dir)
+    eng = EngineOptions(phase_log=False)
+    batched = profile_files_batched(ProfileOptions(), copy.deepcopy(db),
+                                    paths, engine=eng)
+    assert [p for p, _ in batched] == paths
+    for path, st_b in batched:
+        st_s = profile_file(ProfileOptions(), copy.deepcopy(db), path,
+                            engine=eng)
+        assert_states_equal(st_s, st_b)
