@@ -308,22 +308,26 @@ def _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
     # (targets are grouped per read).  So instead of (N, 8) segment
     # min/max scans, compute one 8-bit disagreement mask per target
     # against its nearest PRECEDING valid target and OR it to the segment
-    # end — ~5x less HBM traffic than the min/max formulation.
+    # end.  The comparison uses SHIFTED copies of the row-gathered lv (one
+    # gather total); 1-D gathers with computed indices run at only ~110M
+    # rows/s on TPU v5e, so every avoided gather matters.
+    lv = lineage[rid_c]                                   # (N, 8)
+    bitw = (1 << jnp.arange(8, dtype=jnp.int32))[None, :]
+    disag_bits = jnp.zeros(read_id.shape, jnp.int32)
     if window > 0:
-        prev_rid = jnp.full_like(rid, -1)
         prev_found = jnp.zeros(rid.shape, bool)
         for d in range(1, window + 1):
             same = read_id == _shift_right(read_id, d, jnp.int32(-2))
             cand = same & _shift_right(tmask, d, False) & ~prev_found
-            prev_rid = jnp.where(cand, _shift_right(rid, d, jnp.int32(0)),
-                                 prev_rid)
+            bits_d = jnp.sum(
+                jnp.where(lv != _shift_right(lv, d, jnp.int32(-1)), bitw, 0),
+                axis=1)
+            disag_bits = jnp.where(cand, bits_d, disag_bits)
             prev_found = prev_found | cand
     else:
         # long runs: log-depth "nearest preceding valid target" via a
-        # doubling scan carrying (found, rid) as found*C + rid
+        # doubling scan, then one row gather for its lineage
         enc = jnp.where(tmask, rid, -1)
-        # inclusive scan keeping the LAST valid rid seen in the segment,
-        # then shift by one to make it exclusive (the *preceding* target)
         # combine(current, earlier): keep the rightmost valid rid
         last_valid = _seg_end_reduce(  # runs at every position, not only ends
             read_id, enc, lambda cur, earl: jnp.where(cur >= 0, cur, earl),
@@ -332,14 +336,9 @@ def _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
         prev_rid = jnp.where(same1,
                              _shift_right(last_valid, 1, jnp.int32(-1)), -1)
         prev_found = prev_rid >= 0
-    lv = lineage[rid_c]                                   # (N, 8)
-    lv_prev = lineage[jnp.clip(prev_rid, 0, n_contigs - 1)]
-    disag_bits = jnp.where(
-        tmask & prev_found,
-        jnp.sum(jnp.where(lv != lv_prev,
-                          (1 << jnp.arange(8, dtype=jnp.int32))[None, :],
-                          0), axis=1),
-        0)
+        lv_prev = lineage[jnp.clip(prev_rid, 0, n_contigs - 1)]
+        disag_bits = jnp.sum(jnp.where(lv != lv_prev, bitw, 0), axis=1)
+    disag_bits = jnp.where(tmask & prev_found, disag_bits, 0)
     disag = _seg_end_reduce(read_id, disag_bits, jnp.bitwise_or,
                             jnp.int32(0), k_steps=k_steps, window=window)
     rid_mx = _seg_end_reduce(read_id, jnp.where(tmask, rid, -1), jnp.maximum,
@@ -349,8 +348,12 @@ def _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
     lsb = jnp.bitwise_and(z, -z)
     first_level = jnp.where(z != 0,
                             jax.lax.population_count(lsb - 1), 7)
-    # lineage[max_rid][first agreeing level (or 7)] — slimm.hpp:516-531
-    lca_end = lineage[jnp.clip(rid_mx, 0, n_contigs - 1), first_level]
+    # lineage[max_rid][first agreeing level (or 7)] — slimm.hpp:516-531;
+    # row gather + one-hot select (a 2-index gather would be another
+    # ~110M rows/s elementwise gather)
+    lv_mx = lineage[jnp.clip(rid_mx, 0, n_contigs - 1)]   # (N, 8)
+    lvl_hot = first_level[:, None] == jnp.arange(8, dtype=jnp.int32)[None, :]
+    lca_end = jnp.sum(jnp.where(lvl_hot, lv_mx, 0), axis=1)
 
     # ONE fused histogram: [0, Bp) = uniq_cov2, [Bp, Bp+n_dense) =
     # per-dense-taxid LCA counts (records with weight 0 contribute nothing)
