@@ -17,7 +17,7 @@ Two numbers are measured:
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Driver target (BASELINE.md): >=10x reads/s per chip vs single-core C++.
 
-Env knobs: SLIMM_BENCH_RECORDS (default 2_000_000), SLIMM_BENCH_CONTIGS (50),
+Env knobs: SLIMM_BENCH_RECORDS (default 8_000_000), SLIMM_BENCH_CONTIGS (50),
 SLIMM_BENCH_REPS (5).
 """
 
@@ -140,7 +140,7 @@ def bench_baseline(w, reps):
 
 
 def main():
-    n_records = int(os.environ.get("SLIMM_BENCH_RECORDS", 2_000_000))
+    n_records = int(os.environ.get("SLIMM_BENCH_RECORDS", 8_000_000))
     n_contigs = int(os.environ.get("SLIMM_BENCH_CONTIGS", 50))
     reps = int(os.environ.get("SLIMM_BENCH_REPS", 5))
 

@@ -281,6 +281,20 @@ def _quantile_cut_off_dev(vals, mask, q):
     return jnp.where(m == 0, jnp.float32(0.0), res)
 
 
+def _lineage_rows(lineage, ridx, n_contigs, n_dense):
+    """lineage[ridx] as a one-hot f32 matmul — XLA fuses the one-hot into
+    the dot, ~5x faster than the row gather on TPU v5e.  Exact while taxid
+    values fit float32 integers (< 2^24) and the one-hot stays cheap;
+    falls back to the gather otherwise.  Out-of-range indices yield zero
+    rows (callers mask them)."""
+    if n_contigs <= 4096 and n_dense < (1 << 24):
+        oh = (ridx[:, None] == jnp.arange(n_contigs, dtype=jnp.int32)[None, :]
+              ).astype(jnp.float32)
+        return jnp.dot(oh, lineage.astype(jnp.float32),
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
+    return lineage[jnp.clip(ridx, 0, n_contigs - 1)]
+
+
 def _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
                   *, n_contigs, total_bins_pad, n_dense, k_steps, window,
                   use_pallas=False):
@@ -311,7 +325,7 @@ def _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
     # end.  The comparison uses SHIFTED copies of the row-gathered lv (one
     # gather total); 1-D gathers with computed indices run at only ~110M
     # rows/s on TPU v5e, so every avoided gather matters.
-    lv = lineage[rid_c]                                   # (N, 8)
+    lv = _lineage_rows(lineage, rid, n_contigs, n_dense)  # (N, 8)
     bitw = (1 << jnp.arange(8, dtype=jnp.int32))[None, :]
     disag_bits = jnp.zeros(read_id.shape, jnp.int32)
     if window > 0:
@@ -336,7 +350,7 @@ def _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
         prev_rid = jnp.where(same1,
                              _shift_right(last_valid, 1, jnp.int32(-1)), -1)
         prev_found = prev_rid >= 0
-        lv_prev = lineage[jnp.clip(prev_rid, 0, n_contigs - 1)]
+        lv_prev = _lineage_rows(lineage, prev_rid, n_contigs, n_dense)
         disag_bits = jnp.sum(jnp.where(lv != lv_prev, bitw, 0), axis=1)
     disag_bits = jnp.where(tmask & prev_found, disag_bits, 0)
     disag = _seg_end_reduce(read_id, disag_bits, jnp.bitwise_or,
@@ -351,7 +365,7 @@ def _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
     # lineage[max_rid][first agreeing level (or 7)] — slimm.hpp:516-531;
     # row gather + one-hot select (a 2-index gather would be another
     # ~110M rows/s elementwise gather)
-    lv_mx = lineage[jnp.clip(rid_mx, 0, n_contigs - 1)]   # (N, 8)
+    lv_mx = _lineage_rows(lineage, rid_mx, n_contigs, n_dense)   # (N, 8)
     lvl_hot = first_level[:, None] == jnp.arange(8, dtype=jnp.int32)[None, :]
     lca_end = jnp.sum(jnp.where(lvl_hot, lv_mx, 0), axis=1)
 
