@@ -48,3 +48,25 @@ def test_mesh_construction():
     assert mesh2.devices.size == 2
     with pytest.raises(ValueError):
         make_mesh(10**6)
+
+
+def test_multihost_runner_single_process(toy_dir):
+    # MultiHostRunner degenerates to the sharded runner in one process;
+    # results must equal the plain single-device engine bit-for-bit
+    import copy
+
+    from slimm_tpu.config import EngineOptions, ProfileOptions
+    from slimm_tpu.parallel.multihost import MultiHostRunner, shard_paths
+    from tests.toy import build_toy_db
+
+    db = build_toy_db(toy_dir)
+    eng = EngineOptions(phase_log=False)
+    st_single = profile_file(ProfileOptions(), copy.deepcopy(db),
+                             toy_dir.sam_path, engine=eng)
+    st_multi = profile_file(ProfileOptions(), copy.deepcopy(db),
+                            toy_dir.sam_path, engine=eng,
+                            sharded_runner=MultiHostRunner())
+    from tests.test_engine import assert_states_equal
+    assert_states_equal(st_single, st_multi)
+    assert shard_paths(["a", "b", "c"], 0, 2) == ["a", "c"]
+    assert shard_paths(["a", "b", "c"], 1, 2) == ["b"]
