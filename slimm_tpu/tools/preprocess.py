@@ -165,12 +165,13 @@ def load_taxonomy_dmp(nodes_lines, names_lines):
     for line in names_lines:
         if "scientific name" in line:
             cols = line.split("\t|\t")
-            names[int(cols[0])] = cols[1]
+            names[int(cols[0])] = cols[1].split("\t|")[0]
     for line in nodes_lines:
         cols = line.split("\t|\t")
         taxid = int(cols[0])
         parent[taxid] = int(cols[1])
-        rank[taxid] = cols[2]
+        # last-column lines carry the trailing "\t|" terminator
+        rank[taxid] = cols[2].split("\t|")[0].rstrip("\n")
     return parent, rank, names
 
 
