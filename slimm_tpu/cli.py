@@ -66,6 +66,10 @@ def build_profile_parser(sub) -> argparse.ArgumentParser:
                    help="run the scalar oracle instead of the TPU engine")
     p.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace here")
+    p.add_argument("--json-stats", default=None,
+                   help="append one JSON line of counters per input file "
+                        "(structured observability alongside the reference's "
+                        "stderr phase log)")
     return p
 
 
@@ -208,6 +212,25 @@ def cmd_profile(args) -> int:
         write_abundance(state, options.output_prefix, path)
         if options.verbose:
             _print_filter_stat(state)
+        if args.json_stats:
+            import json
+            with open(args.json_stats, "a") as jf:
+                jf.write(json.dumps({
+                    "file": path,
+                    "hits_count": state.hits_count,
+                    "matches_count": state.matches_count,
+                    "uniq_matches_count": state.uniq_matches_count,
+                    "uniq_matches_count2": state.uniq_matches_count2,
+                    "reference_count": state.reference_count,
+                    "valid_refs": len(state.valid_ref_ids),
+                    "failed_by_cov": state.failed_byCov,
+                    "failed_by_uniq_cov": state.failed_byUniqCov,
+                    "failed_by_min_read": state.failed_by_min_read,
+                    "avg_read_length": state.avg_read_length,
+                    "coverage_cut_off": float(state.coverage_cut_off()),
+                    "uniq_coverage_cut_off":
+                        float(state.uniq_coverage_cut_off()),
+                }) + "\n")
 
     from .io.files import get_directory
     print("\n*****************************************************************",

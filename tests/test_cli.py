@@ -103,3 +103,21 @@ def test_version():
     with pytest.raises(SystemExit) as e:
         main(["--version"])
     assert e.value.code == 0
+
+
+def test_profile_json_stats(built_db, toy_dir, tmp_path):
+    import json
+    import os
+
+    out_prefix = os.path.join(str(tmp_path), "js_")
+    stats_path = os.path.join(str(tmp_path), "stats.jsonl")
+    rc = main(["profile", "-o", out_prefix, "--json-stats", stats_path,
+               built_db, toy_dir.sam_path])
+    assert rc == 0
+    rows = [json.loads(l) for l in open(stats_path)]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["file"] == toy_dir.sam_path
+    assert r["hits_count"] > 0
+    assert r["matches_count"] > 0
+    assert 0.0 <= r["coverage_cut_off"] <= 1.0
