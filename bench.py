@@ -131,7 +131,7 @@ def bench_baseline(w, reps):
     from slimm_tpu.io import native
 
     times = []
-    for _ in range(max(1, reps // 2)):
+    for _ in range(max(3, reps)):
         secs, counters = native.baseline_profile(
             w["read_id"], w["rid"], w["pos"], w["n_reads"], w["lengths"],
             w["lineage"], w["avg_read_len"], w["avg_read_len"])
