@@ -769,15 +769,25 @@ def profile_files_batched(options: ProfileOptions, db: SlimmDatabase,
         af = open_alignment_file(path, engine)
         decoded.append((path, af, af.load()))
     names0 = list(decoded[0][1].contig_names)
-    if any(list(af.contig_names) != names0 for _, af, _ in decoded[1:]):
-        return [(path, profile_file(options, db, path, engine=engine))
+    lengths0 = np.asarray(decoded[0][1].contig_lengths)
+    same_ref = all(
+        list(af.contig_names) == names0
+        and np.array_equal(np.asarray(af.contig_lengths), lengths0)
+        for _, af, _ in decoded[1:])
+    if not same_ref:
+        # per-file dispatch; profile_arrays mutates options (bin_width,
+        # min_reads defaults), so each file gets its own copy — the
+        # reference CLI deep-copies per file for the same reason
+        return [(path,
+                 profile_file(_copy.deepcopy(options), db, path,
+                              engine=engine))
                 for path, _, _ in decoded]
 
     timer = PhaseTimer(enabled=engine.phase_log)
     timer.start("Intializing coverages for all reference genome ... ")
     dense = tensorize(db, names0)
     n_contigs = len(names0)
-    lengths = np.asarray(decoded[0][1].contig_lengths)
+    lengths = lengths0
 
     preps = []      # (path, st, options_k, arrays...) per non-empty file
     empties = []

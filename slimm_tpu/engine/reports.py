@@ -8,6 +8,7 @@ reference byte-for-byte, including its spelling ("accesion", "linage").
 from __future__ import annotations
 
 import os
+import sys
 
 from ..io.files import tsv_file_name
 from ..state import ProfileState
@@ -38,6 +39,16 @@ def write_abundance(state: ProfileState, output_prefix: str,
         f.write(PROFILE_HEADER)
         for row in state.abundance_rows():
             f.write("\t".join(row) + "\n")
+    if state.options.verbose:
+        # per-rank summary (slimm.hpp:836-840; typo "bellow" is verbatim);
+        # setw(4)/setw(15) right-alignment, no trailing newline
+        from ..state import fmt_float
+        from ..taxonomy import considered_ranks, rank_name
+        rank = considered_ranks(state.options.rank)[1]
+        sys.stderr.write(
+            f"\n{state.rank_row_count:>4}{rank_name(rank):>15} "
+            f"({state.rank_failed_count} bellow cutoff i.e. "
+            f"{fmt_float(state.options.abundance_cut_off)})")
     return path
 
 

@@ -159,17 +159,28 @@ def _reference_hist(idx, w, n_bins_pad):
         w.astype(jnp.int32), mode="drop")
 
 
-if __name__ == "__main__":   # quick self-test on the live backend
+def self_test() -> str:
+    """Kernel-vs-scatter parity on the CURRENT default backend; returns the
+    backend name.  Run via `python -m slimm_tpu.ops.hist` (manual) or the
+    gated tests/test_tpu_live.py (pytest, skipped off-TPU)."""
+    backend = jax.default_backend()
     rng = np.random.default_rng(0)
     n, bp = 8192, 4096
     idx = jnp.asarray(rng.integers(0, bp, n).astype(np.int32))
     w1 = jnp.asarray(rng.random(n) < 0.9)
     w2 = jnp.asarray(rng.random(n) < 0.3)
-    h1, h2 = mxu_hist2(idx, w1, w2, n_bins_pad=bp)
+    interp = backend == "cpu"   # Mosaic needs a real TPU
+    h1, h2 = mxu_hist2(idx, w1, w2, n_bins_pad=bp, interpret=interp)
     r1 = _reference_hist(idx, w1, bp)
     r2 = _reference_hist(idx, w2, bp)
     assert np.array_equal(np.asarray(h1), np.asarray(r1)), "h1 mismatch"
     assert np.array_equal(np.asarray(h2), np.asarray(r2)), "h2 mismatch"
-    h = mxu_hist(idx, w1, n_bins_pad=bp)
+    h = mxu_hist(idx, w1, n_bins_pad=bp, interpret=interp)
     assert np.array_equal(np.asarray(h), np.asarray(r1)), "h mismatch"
+    return backend
+
+
+if __name__ == "__main__":   # quick self-test on the live backend
+    backend = self_test()
+    print(f"backend={backend}")
     print("mxu_hist parity ok")

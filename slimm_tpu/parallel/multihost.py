@@ -75,6 +75,14 @@ class MultiHostRunner:
         self.n_shards = mesh.devices.size
         self._jit_cache: dict = {}
 
+    def _shard_counts(self, read_id):
+        """Per-local-shard record counts for shard = read_id mod S (multi-hit
+        reads cluster mod S, so actual counts can exceed an even split)."""
+        S = self.local_shards
+        valid = np.asarray(read_id) >= 0
+        shard = np.asarray(read_id)[valid] % S
+        return np.bincount(shard, minlength=S)
+
     def _route_local(self, read_id, rid, pos, n_s):
         """Partition THIS host's records over its local shards by read."""
         S = self.local_shards
@@ -125,9 +133,9 @@ class MultiHostRunner:
 
     def fused(self, read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
               half, bin_width, lineage, q, **kw):
-        # agree on the shard row length across hosts (max local load)
-        local_n = int((np.asarray(read_id) >= 0).sum())
-        per_shard = -(-max(local_n, 1) // max(self.local_shards, 1))
+        # agree on the shard row length across hosts: max ACTUAL per-shard
+        # count (shard = read_id mod S, so loads can be uneven), allgathered
+        per_shard = int(max(self._shard_counts(read_id).max(), 1))
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
             all_n = multihost_utils.process_allgather(

@@ -103,6 +103,8 @@ class ProfileState:
     failed_by_min_read: int = 0
     failed_byCov: int = 0
     failed_byUniqCov: int = 0
+    rank_row_count: int = 0      # rows emitted by the last abundance_rows
+    rank_failed_count: int = 0   # rows dropped below cutoff (slimm.hpp:838)
 
     valid_ref_ids: set = field(default_factory=set)
     taxon_id__read_count: dict = field(default_factory=dict)
@@ -321,6 +323,8 @@ class ProfileState:
         sum_abundance = f32(0.0)
         sum_ab_by_parent = {}
         sum_reads_by_parent = {}
+        emitted = 0      # `count` in the reference verbose line
+        failed = 0       # `faild_count` (slimm.hpp:802, 838)
 
         for t_id in sorted(self.taxon_id__read_count):
             count = self.taxon_id__read_count[t_id]
@@ -342,12 +346,14 @@ class ProfileState:
                 sum_reads_by_parent.get(parent_tax_id, 0) + count)
             if (abundance < self.options.abundance_cut_off
                     or cov < self.coverage_cut_off() or name == ""):
+                failed += 1
                 continue
             rows.append((rank_name(rank), str(t_id),
                          self.lineage_string_of_taxid(rank, t_id),
                          fmt_float(abundance), str(count)))
             sum_abundance = f32(sum_abundance + abundance)
             sum_reads_count += count
+            emitted += 1
 
         # unclassifieds with known parent (slimm.hpp:816-831)
         for parent in sorted(sum_ab_by_parent):
@@ -369,6 +375,10 @@ class ProfileState:
                      self.lineage_string_of_taxid(rank, 0),
                      fmt_float(f32(f32(100.0) - sum_abundance)),
                      str((self.matches_count - sum_reads_count) & 0xFFFFFFFF)))
+        # counters for the reference's verbose per-rank summary
+        # (slimm.hpp:836-840), consumed by reports.write_abundance
+        self.rank_row_count = emitted
+        self.rank_failed_count = failed
         return rows
 
     def raw_rows(self):

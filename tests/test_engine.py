@@ -204,3 +204,87 @@ def test_batched_files_match_per_file(toy_dir, tmp_path):
         st_s = profile_file(ProfileOptions(), copy.deepcopy(db), path,
                             engine=eng)
         assert_states_equal(st_s, st_b)
+
+
+def test_rank_all_pinned_output(toy_dir):
+    # -r all: get_considered_ranks pushes 7..0 but write_abundance reads only
+    # [0]=superkingdom (parent) and [1]=phylum (slimm.hpp:498-514, 733-843),
+    # so the profile is a PHYLUM-level report
+    st_o, st_e = run_both(toy_dir, options=ProfileOptions(rank="all"))
+    assert_states_equal(st_o, st_e)
+    rows = st_e.abundance_rows()
+    main = [r for r in rows if not r[1].endswith("*")]
+    assert main, "expected phylum rows"
+    assert all(r[0] == "phylum" for r in rows)
+    by_tid = {r[1]: r for r in main}
+    assert set(by_tid) <= {"1224", "1239"}
+    assert by_tid["1224"][2] == "k__Bacteria|p__Proteobacteria"
+    assert by_tid["1239"][2] == "k__Bacteria|p__Firmicutes"
+    # catch-all closes abundance to 100 (float32 seq-sum of emitted rows)
+    from slimm_tpu.state import f32
+    total = f32(0.0)
+    for r in rows:
+        total = f32(total + f32(float(r[3])))
+    assert abs(float(total) - 100.0) < 1e-3
+    assert rows[-1][1] == "0*"
+    assert rows[-1][2].endswith("p__unknown_phylum")
+
+
+def test_rank_superkingdom_pinned_output(toy_dir):
+    # -r superkingdom: the reference pushes ONE considered rank and then
+    # reads considered_ranks[1] out of bounds (slimm.hpp:506-508, 739);
+    # the defined divergence is parent_rank == rank == superkingdom
+    # (taxonomy.considered_ranks docstring), making the unclassified
+    # residual identically zero
+    st_o, st_e = run_both(toy_dir,
+                          options=ProfileOptions(rank="superkingdom"))
+    assert_states_equal(st_o, st_e)
+    rows = st_e.abundance_rows()
+    assert all(r[0] == "superkingdom" for r in rows)
+    main = [r for r in rows if not r[1].endswith("*")]
+    assert [r[1] for r in main] == ["2"]
+    assert main[0][2] == "k__Bacteria"
+    # every classified read lands on Bacteria; no unclassified parent rows
+    assert [r[1] for r in rows if r[1].endswith("*")] == ["0*"]
+    assert rows[-1][2] == "k__unknown_superkingdom"
+    assert int(main[0][4]) == st_e.taxon_id__read_count[2]
+
+
+def test_verbose_rank_summary_line(toy_dir, tmp_path, capsys):
+    # verbose per-rank summary (slimm.hpp:836-840): right-aligned count and
+    # rank name, "bellow" typo verbatim
+    from slimm_tpu.engine.reports import write_abundance
+
+    st_o, st_e = run_both(toy_dir, options=ProfileOptions(verbose=True))
+    write_abundance(st_e, str(tmp_path / "out"), "toy-reads.sam")
+    err = capsys.readouterr().err
+    n = st_e.rank_row_count
+    f = st_e.rank_failed_count
+    assert f"\n{n:>4}{'species':>15} ({f} bellow cutoff i.e. 0.01)" in err
+
+
+def test_nested_lca_propagation_pinned(toy_dir):
+    # Nested LCAs: the toy multimaps produce LCA counts at strain 100001,
+    # species 562 and family 543, where each is an ancestor of the previous.
+    # The reference's propagation order is unordered_map iteration order
+    # (slimm.hpp:559-586) — run-order-dependent for the children sets; the
+    # repo's canonical sorted-key order (state.propagate_counts) is pinned
+    # here, including the row content derived from the children sets
+    st_o, st_e = run_both(toy_dir, options=ProfileOptions(rank="family"))
+    assert_states_equal(st_o, st_e)
+    # 543 propagated from both its own LCA reads (children {2,3}) and the
+    # species/strain LCAs below it (children {0,1,2} via lineage walks)
+    assert sorted(st_e.taxon_id__children[543]) == [0, 1, 2, 3]
+    assert sorted(st_e.taxon_id__children[562]) == [0, 1, 2]
+    assert st_e.taxon_id__read_count[543] == 444
+    assert st_e.taxon_id__read_count[562] == 339
+    rows = st_e.abundance_rows()
+    assert rows[0] == (
+        "family", "543",
+        "k__Bacteria|p__Proteobacteria|c__Gammaproteobacteria|"
+        "o__Enterobacterales|f__Enterobacteriaceae", "84.7328", "444")
+    assert rows[1] == (
+        "family", "186817",
+        "k__Bacteria|p__Firmicutes|c__Bacilli|o__Bacillales|f__Bacillaceae",
+        "11.4504", "60")
+    assert rows[-1][1] == "0*" and rows[-1][4] == "20"
