@@ -1,4 +1,5 @@
-// slimm_tpu native runtime: SAM/BAM/BGZF decoder + single-core baseline.
+// slimm_tpu native runtime: streaming SAM/BAM/BGZF decoder + single-core
+// baseline.
 //
 // TPU-native data plane (SURVEY.md §2.4 "Native decode"): decodes alignment
 // files into fixed-width int32 arrays (read_id, rid, pos) with the read-name
@@ -6,12 +7,28 @@
 // applied in C++, ready for zero-copy device transfer.  Exposed through a
 // plain C ABI consumed via ctypes (slimm_tpu/io/native.py).
 //
+// Unlike the reference's SeqAn stream (one record at a time,
+// misc.hpp:498-522) the decoder is CHUNK-streaming with bounded raw memory:
+// the compressed file is read in fixed-size chunks, BGZF blocks are inflated
+// block-parallel across worker threads (each gzip member is independently
+// inflatable), and the parsers consume decompressed chunks with carry-over
+// buffers.  Peak memory is O(decoded target arrays + read-name dictionary);
+// the raw file bytes and the inflated stream are never resident — a SAM/BAM
+// larger than RAM profiles with flat memory.
+//
+// Robustness (reference: SeqAn throws on malformed input, global handler in
+// src/CMakeLists.txt:150): truncated/corrupt BGZF or BAM input raises an
+// error with byte-offset context instead of silently truncating; malformed
+// SAM lines are counted and surfaced as a warning; BGZF CRC32/ISIZE are
+// verified per block; a missing BGZF EOF marker is reported as a warning
+// (possible truncation at a block boundary).
+//
 // Also contains a faithful single-threaded C++ implementation of the
 // profiler hot loops (reference slimm.hpp:191-303, 351-392, 516-611
 // semantics, re-written from the spec in slimm_tpu/oracle.py) used as the
 // single-core baseline that bench.py compares the TPU engine against.
 //
-// Build: make -C native  (g++ -O3 -march=native, links zlib).
+// Build: make -C native  (g++ -O3 -march=native, links zlib + pthread).
 
 #include <algorithm>
 #include <cstdint>
@@ -19,9 +36,12 @@
 #include <cstdlib>
 #include <cstring>
 #include <chrono>
+#include <memory>
 #include <numeric>
 #include <set>
+#include <stdexcept>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -34,50 +54,278 @@ constexpr uint16_t FLAG_FIRST = 0x40;
 constexpr uint16_t FLAG_LAST = 0x80;
 constexpr int LINEAGE_LENGTH = 8;
 
+struct DecodeError : std::runtime_error {
+  using std::runtime_error::runtime_error;
+};
+
 // ---------------------------------------------------------------------------
-// file reading helpers
+// byte sources: pull-based decompressed chunk streams (bounded raw memory)
 // ---------------------------------------------------------------------------
 
-bool read_whole_file(const char* path, std::vector<uint8_t>& out) {
-  FILE* f = std::fopen(path, "rb");
-  if (!f) return false;
-  std::fseek(f, 0, SEEK_END);
-  long n = std::ftell(f);
-  std::fseek(f, 0, SEEK_SET);
-  out.resize(static_cast<size_t>(n));
-  size_t got = n ? std::fread(out.data(), 1, static_cast<size_t>(n), f) : 0;
-  std::fclose(f);
-  return got == static_cast<size_t>(n);
-}
+struct ByteSource {
+  virtual ~ByteSource() = default;
+  // Replace `out` with the next decompressed chunk; false at clean EOF.
+  // Throws DecodeError on corrupt input.
+  virtual bool next(std::vector<uint8_t>& out) = 0;
+  virtual std::string warning() const { return ""; }
+};
 
-// Inflate a (possibly multi-member, i.e. BGZF) gzip stream.
-bool gunzip_all(const std::vector<uint8_t>& in, std::vector<uint8_t>& out) {
-  z_stream zs{};
-  if (inflateInit2(&zs, 15 + 32) != Z_OK) return false;
-  out.clear();
-  out.reserve(in.size() * 4);
-  std::vector<uint8_t> buf(1 << 20);
-  zs.next_in = const_cast<uint8_t*>(in.data());
-  zs.avail_in = static_cast<uInt>(in.size());
-  while (zs.avail_in > 0) {
-    zs.next_out = buf.data();
-    zs.avail_out = static_cast<uInt>(buf.size());
-    int rc = inflate(&zs, Z_NO_FLUSH);
-    size_t produced = buf.size() - zs.avail_out;
-    out.insert(out.end(), buf.data(), buf.data() + produced);
-    if (rc == Z_STREAM_END) {
-      if (zs.avail_in == 0) break;
-      if (inflateReset2(&zs, 15 + 32) != Z_OK) { inflateEnd(&zs); return false; }
-    } else if (rc != Z_OK && rc != Z_BUF_ERROR) {
-      inflateEnd(&zs);
-      return false;
-    } else if (produced == 0 && rc == Z_BUF_ERROR) {
-      break;  // no progress
-    }
+constexpr size_t RAW_CHUNK = 1 << 20;  // compressed-side read granularity
+
+struct FileReader {
+  FILE* f = nullptr;
+  size_t offset = 0;  // bytes consumed from the file (for error context)
+
+  explicit FileReader(const char* path) { f = std::fopen(path, "rb"); }
+  ~FileReader() {
+    if (f) std::fclose(f);
   }
-  inflateEnd(&zs);
-  return true;
-}
+  bool ok() const { return f != nullptr; }
+  size_t read(uint8_t* dst, size_t n) {
+    size_t got = std::fread(dst, 1, n, f);
+    offset += got;
+    return got;
+  }
+};
+
+// Uncompressed file (plain SAM text or raw BAM stream).
+struct RawSource : ByteSource {
+  FileReader rd;
+  explicit RawSource(const char* path) : rd(path) {}
+  bool next(std::vector<uint8_t>& out) override {
+    out.resize(RAW_CHUNK);
+    size_t got = rd.read(out.data(), RAW_CHUNK);
+    out.resize(got);
+    return got > 0;
+  }
+};
+
+// Arbitrary (non-BGZF) gzip stream, streaming inflate, multi-member aware.
+struct GzipSource : ByteSource {
+  FileReader rd;
+  z_stream zs{};
+  std::vector<uint8_t> in;
+  bool in_eof = false;
+  bool stream_end = false;
+
+  explicit GzipSource(const char* path) : rd(path) {
+    if (inflateInit2(&zs, 15 + 32) != Z_OK)
+      throw DecodeError("zlib init failed");
+    in.reserve(RAW_CHUNK);
+  }
+  ~GzipSource() override { inflateEnd(&zs); }
+
+  void refill() {
+    in.resize(RAW_CHUNK);
+    size_t got = rd.read(in.data(), RAW_CHUNK);
+    in.resize(got);
+    in_eof = got == 0;
+    zs.next_in = in.data();
+    zs.avail_in = static_cast<uInt>(got);
+  }
+
+  bool next(std::vector<uint8_t>& out) override {
+    out.resize(RAW_CHUNK);
+    zs.next_out = out.data();
+    zs.avail_out = static_cast<uInt>(out.size());
+    while (zs.avail_out > 0) {
+      if (zs.avail_in == 0 && !in_eof) refill();
+      if (zs.avail_in == 0) {  // in_eof
+        if (!stream_end)
+          throw DecodeError("truncated gzip stream at compressed offset " +
+                            std::to_string(rd.offset));
+        break;
+      }
+      int rc = inflate(&zs, Z_NO_FLUSH);
+      if (rc == Z_STREAM_END) {
+        stream_end = true;
+        if (zs.avail_in == 0 && !in_eof) refill();
+        if (zs.avail_in == 0) break;  // clean end of the last member
+        // another gzip member follows (multi-member concatenation)
+        if (inflateReset2(&zs, 15 + 32) != Z_OK)
+          throw DecodeError("zlib reset failed");
+        stream_end = false;
+      } else if (rc != Z_OK && rc != Z_BUF_ERROR) {
+        throw DecodeError(std::string("corrupt gzip stream (") +
+                          (zs.msg ? zs.msg : "data error") +
+                          ") near compressed offset " +
+                          std::to_string(rd.offset));
+      } else if (rc == Z_BUF_ERROR && zs.avail_in == 0 && in_eof) {
+        throw DecodeError("truncated gzip stream at compressed offset " +
+                          std::to_string(rd.offset));
+      }
+    }
+    out.resize(out.size() - zs.avail_out);
+    return !out.empty();
+  }
+};
+
+// BGZF: gzip members with a BC extra subfield carrying the block size.
+// Blocks are independently inflatable -> batch block-parallel inflate.
+struct BgzfSource : ByteSource {
+  FileReader rd;
+  std::vector<uint8_t> pending;  // compressed bytes not yet consumed
+  size_t pending_pos = 0;
+  size_t block_start_offset = 0;  // file offset of the current block
+  bool raw_eof = false;
+  bool saw_eof_marker = false;
+  unsigned n_threads;
+
+  explicit BgzfSource(const char* path, unsigned threads)
+      : rd(path), n_threads(threads ? threads : 1) {}
+
+  std::string warning() const override {
+    if (!saw_eof_marker)
+      return "missing BGZF EOF marker (file may be truncated)";
+    return "";
+  }
+
+  // Ensure >= n bytes available at pending_pos (or raw EOF).
+  bool ensure(size_t n) {
+    while (pending.size() - pending_pos < n && !raw_eof) {
+      size_t old = pending.size();
+      if (pending_pos > (1 << 22)) {  // compact periodically
+        pending.erase(pending.begin(), pending.begin() + pending_pos);
+        old = pending.size();
+        pending_pos = 0;
+      }
+      pending.resize(old + RAW_CHUNK);
+      size_t got = rd.read(pending.data() + old, RAW_CHUNK);
+      pending.resize(old + got);
+      raw_eof = got == 0;
+    }
+    return pending.size() - pending_pos >= n;
+  }
+
+  struct Block {
+    std::vector<uint8_t> cdata;  // owned copy of the deflate payload
+    uint32_t isize = 0;
+    uint32_t crc = 0;
+    size_t file_offset = 0;
+  };
+
+  // Parse the next BGZF block at pending_pos into an OWNED Block (the copy
+  // makes it immune to `pending` compaction/reallocation, and the batch can
+  // be inflated on worker threads without touching `pending`).  Returns
+  // false at clean EOF on a block boundary.
+  bool next_block(Block& b) {
+    if (!ensure(1)) return false;
+    b.file_offset = block_start_offset;
+    if (!ensure(18))
+      throw DecodeError("truncated BGZF block header at offset " +
+                        std::to_string(b.file_offset));
+    const uint8_t* p = pending.data() + pending_pos;
+    if (!(p[0] == 0x1f && p[1] == 0x8b && p[2] == 8 && (p[3] & 4)))
+      throw DecodeError("corrupt BGZF block magic at offset " +
+                        std::to_string(b.file_offset));
+    uint16_t xlen;
+    memcpy(&xlen, p + 10, 2);
+    if (!ensure(12 + static_cast<size_t>(xlen)))
+      throw DecodeError("truncated BGZF extra field at offset " +
+                        std::to_string(b.file_offset));
+    p = pending.data() + pending_pos;  // ensure() may have moved the buffer
+    uint32_t bsize = 0;
+    bool found_bc = false;
+    for (size_t e = 0; e + 4 <= xlen;) {
+      const uint8_t* sf = p + 12 + e;
+      uint16_t slen;
+      memcpy(&slen, sf + 2, 2);
+      if (sf[0] == 66 && sf[1] == 67 && slen == 2) {
+        uint16_t bs;
+        memcpy(&bs, sf + 4, 2);
+        bsize = static_cast<uint32_t>(bs) + 1;
+        found_bc = true;
+        break;
+      }
+      e += 4 + slen;
+    }
+    if (!found_bc)
+      throw DecodeError("BGZF block without BC subfield at offset " +
+                        std::to_string(b.file_offset));
+    if (bsize < 12 + static_cast<uint32_t>(xlen) + 8)
+      throw DecodeError("corrupt BGZF block size at offset " +
+                        std::to_string(b.file_offset));
+    if (!ensure(bsize))
+      throw DecodeError("truncated BGZF block at offset " +
+                        std::to_string(b.file_offset) + " (need " +
+                        std::to_string(bsize) + " bytes, have " +
+                        std::to_string(pending.size() - pending_pos) + ")");
+    p = pending.data() + pending_pos;
+    size_t csize = bsize - 12 - xlen - 8;
+    b.cdata.assign(p + 12 + xlen, p + 12 + xlen + csize);
+    memcpy(&b.crc, p + bsize - 8, 4);
+    memcpy(&b.isize, p + bsize - 4, 4);
+    pending_pos += bsize;
+    block_start_offset += bsize;
+    // the EOF sentinel must be the LAST block (28-byte empty member)
+    saw_eof_marker = (b.isize == 0 && csize <= 2);
+    return true;
+  }
+
+  static void inflate_block(const Block& b, std::vector<uint8_t>& out) {
+    out.resize(b.isize);
+    if (b.isize == 0) return;  // EOF marker / empty block
+    z_stream zs{};
+    if (inflateInit2(&zs, -15) != Z_OK) throw DecodeError("zlib init failed");
+    zs.next_in = const_cast<uint8_t*>(b.cdata.data());
+    zs.avail_in = static_cast<uInt>(b.cdata.size());
+    zs.next_out = out.data();
+    zs.avail_out = static_cast<uInt>(out.size());
+    int rc = inflate(&zs, Z_FINISH);
+    bool ok = rc == Z_STREAM_END && zs.avail_out == 0;
+    inflateEnd(&zs);
+    if (!ok)
+      throw DecodeError("corrupt BGZF block payload at offset " +
+                        std::to_string(b.file_offset));
+    uint32_t crc = crc32(0, out.data(), static_cast<uInt>(out.size()));
+    if (crc != b.crc)
+      throw DecodeError("BGZF CRC mismatch at offset " +
+                        std::to_string(b.file_offset));
+  }
+
+  bool next(std::vector<uint8_t>& out) override {
+    // batch up to K blocks, inflate them in parallel, concatenate
+    constexpr size_t K = 64;
+    std::vector<Block> blocks;
+    blocks.reserve(K);
+    Block b;
+    while (blocks.size() < K) {
+      if (!next_block(b)) break;
+      blocks.push_back(std::move(b));
+    }
+    if (blocks.empty()) return false;
+
+    std::vector<std::vector<uint8_t>> parts(blocks.size());
+    unsigned T = static_cast<unsigned>(
+        std::min<size_t>(n_threads, blocks.size()));
+    if (T <= 1) {
+      for (size_t i = 0; i < blocks.size(); ++i)
+        inflate_block(blocks[i], parts[i]);
+    } else {
+      std::vector<std::thread> ws;
+      std::vector<std::string> errs(T);
+      for (unsigned t = 0; t < T; ++t) {
+        ws.emplace_back([&, t]() {
+          try {
+            for (size_t i = t; i < blocks.size(); i += T)
+              inflate_block(blocks[i], parts[i]);
+          } catch (const std::exception& e) {
+            errs[t] = e.what();
+          }
+        });
+      }
+      for (auto& w : ws) w.join();
+      for (auto& e : errs)
+        if (!e.empty()) throw DecodeError(e);
+    }
+    size_t total = 0;
+    for (auto& pt : parts) total += pt.size();
+    out.clear();
+    out.reserve(total);
+    for (auto& pt : parts) out.insert(out.end(), pt.begin(), pt.end());
+    return true;  // possibly-empty chunk (EOF marker only) still signals ok
+  }
+};
 
 // ---------------------------------------------------------------------------
 // decoded file state
@@ -94,7 +342,10 @@ struct StpuFile {
   int64_t n_reads = 0;
   int64_t hits = 0;  // all mapped records, including dropped duplicates
   int64_t avg_read_len = 0;
+  int64_t malformed = 0;  // skipped malformed SAM lines
+  bool grouped_input = false;  // decoder fast path held: arrays pre-grouped
   std::string error;
+  std::string warning;
 };
 
 // open-addressing set of packed (read_id, rid) keys for first-hit dedup
@@ -134,7 +385,8 @@ struct PairSet {
 
   // returns true if newly inserted
   bool insert(uint64_t key) {
-    if (count * 10 >= slots.size() * 7) rehash(slots.size() * 2);
+    // grow 4x: rehash is all cache misses, so fewer, bigger rehashes win
+    if (count * 10 >= slots.size() * 7) rehash(slots.size() * 4);
     size_t i = mix(key) & mask;
     while (true) {
       uint64_t cur = slots[i];
@@ -149,21 +401,109 @@ struct PairSet {
   }
 };
 
-struct ReadKeyHash {
-  size_t operator()(const std::string& s) const {
-    // FNV-1a
-    size_t h = 1469598103934665603ull;
-    for (unsigned char c : s) { h ^= c; h *= 1099511628211ull; }
-    return h;
+// Arena-backed open-addressing string -> dense-id interner.  ~40B/key vs
+// ~150B for unordered_map<string, int32>, and find-or-insert hashes the key
+// parts in place (no per-record string construction) — the read-name
+// dictionary is the decoder's hottest structure (slimm.hpp:204-211 at
+// billions of reads, SURVEY.md §7 hard-part 4).
+struct StrMap {
+  std::vector<char> arena;     // concatenated key bytes
+  std::vector<uint64_t> meta;  // (start << 24) | len per id
+  // slot = (hash_lo32 << 32) | (id + 1); 0 = empty.  The 32-bit hash tag
+  // lives IN the slot so a probe is one cache line; meta/arena are touched
+  // only on a tag match (true hit or rare collision).
+  std::vector<uint64_t> slots;
+  size_t mask;
+
+  StrMap() : slots(1 << 16, 0), mask((1 << 16) - 1) {}
+
+  size_t size() const { return meta.size(); }
+
+  static uint32_t hash2(const char* a, size_t n, const char* b, size_t m) {
+    uint64_t h = 1469598103934665603ull;  // FNV-1a over a ++ b
+    for (size_t i = 0; i < n; ++i) {
+      h ^= static_cast<unsigned char>(a[i]);
+      h *= 1099511628211ull;
+    }
+    for (size_t i = 0; i < m; ++i) {
+      h ^= static_cast<unsigned char>(b[i]);
+      h *= 1099511628211ull;
+    }
+    return static_cast<uint32_t>(PairSet::mix(h));
+  }
+
+  void grow() {
+    size_t n = slots.size() * 4;  // fewer, bigger rehashes
+    std::vector<uint64_t> ns(n, 0);
+    size_t nm = n - 1;
+    for (uint64_t s : slots) {
+      if (!s) continue;
+      size_t i = static_cast<uint32_t>(s >> 32) & nm;
+      while (ns[i]) i = (i + 1) & nm;
+      ns[i] = s;
+    }
+    slots.swap(ns);
+    mask = nm;
+  }
+
+  bool verify(int32_t id, const char* a, size_t n, const char* b,
+              size_t m) const {
+    uint64_t mt = meta[id];
+    size_t s = mt >> 24, l = mt & 0xFFFFFF;
+    return l == n + m && memcmp(arena.data() + s, a, n) == 0 &&
+           (m == 0 || memcmp(arena.data() + s + n, b, m) == 0);
+  }
+
+  // find-or-insert of the concatenated key a ++ b
+  int32_t intern(const char* a, size_t n, const char* b, size_t m) {
+    if ((meta.size() + 1) * 10 >= slots.size() * 7) grow();
+    uint32_t h = hash2(a, n, b, m);
+    size_t i = h & mask;
+    while (uint64_t s = slots[i]) {
+      if (static_cast<uint32_t>(s >> 32) == h) {
+        int32_t id = static_cast<int32_t>(s & 0xFFFFFFFF) - 1;
+        if (verify(id, a, n, b, m)) return id;
+      }
+      i = (i + 1) & mask;
+    }
+    int32_t id = static_cast<int32_t>(meta.size());
+    size_t s = arena.size();
+    arena.insert(arena.end(), a, a + n);
+    arena.insert(arena.end(), b, b + m);
+    meta.push_back((static_cast<uint64_t>(s) << 24) | (n + m));
+    slots[i] = (static_cast<uint64_t>(h) << 32) |
+               static_cast<uint64_t>(static_cast<uint32_t>(id) + 1);
+    return id;
+  }
+
+  // find-only; -1 if absent
+  int32_t find(const char* a, size_t n) const {
+    uint32_t h = hash2(a, n, nullptr, 0);
+    size_t i = h & mask;
+    while (uint64_t s = slots[i]) {
+      if (static_cast<uint32_t>(s >> 32) == h) {
+        int32_t id = static_cast<int32_t>(s & 0xFFFFFFFF) - 1;
+        if (verify(id, a, n, nullptr, 0)) return id;
+      }
+      i = (i + 1) & mask;
+    }
+    return -1;
   }
 };
 
 struct Decoder {
-  std::unordered_map<std::string, int32_t, ReadKeyHash> key_to_id;
-  PairSet seen;  // (read, contig) first-hit dedup
+  StrMap key_to_id;
+  PairSet seen;  // (read, contig) first-hit dedup — fallback path only
+  // Fast path for qname-grouped inputs (mapper output order): while every
+  // reappearance of a read is consecutive, dedup is a linear scan of the
+  // current read's few targets and the hash set is never touched.  The
+  // first NON-consecutive reappearance (e.g. coordinate-sorted BAM) builds
+  // the pair set from the kept targets once and switches over.
+  bool grouped = true;
+  int32_t last_id = -1;
+  std::vector<int32_t> cur;  // contigs kept for the current read run
   int64_t sample_count = 0;
   int64_t sample_total = 0;
-  std::string keybuf;
 
   // first <=100k records with nonempty seq (reference misc.hpp:509-522)
   void sample_len(int64_t seq_len) {
@@ -174,159 +514,321 @@ struct Decoder {
   }
 
   int32_t intern(const char* qname, size_t qlen, uint16_t flag) {
-    keybuf.assign(qname, qlen);
-    if (flag & FLAG_FIRST) keybuf += ".1";
-    else if (flag & FLAG_LAST) keybuf += ".2";
-    auto it = key_to_id.find(keybuf);
-    if (it != key_to_id.end()) return it->second;
-    int32_t id = static_cast<int32_t>(key_to_id.size());
-    key_to_id.emplace(keybuf, id);
-    return id;
+    // pair suffix ".1"/".2" (slimm.hpp:204-209), hashed in place
+    const char* suffix = "";
+    size_t sn = 0;
+    if (flag & FLAG_FIRST) { suffix = ".1"; sn = 2; }
+    else if (flag & FLAG_LAST) { suffix = ".2"; sn = 2; }
+    return key_to_id.intern(qname, qlen, suffix, sn);
+  }
+
+  static uint64_t pack(int32_t id, int32_t rid) {
+    return (static_cast<uint64_t>(static_cast<uint32_t>(id)) << 32) |
+           static_cast<uint32_t>(rid);
+  }
+
+  void emit(StpuFile* f, int32_t id, int32_t rid, int32_t pos) {
+    f->read_id.push_back(id);
+    f->rid.push_back(rid);
+    f->pos.push_back(pos);
   }
 
   // add a mapped record: intern the read and emit a target unless the
-  // (read, contig) pair was already seen (first hit wins)
+  // (read, contig) pair was already seen (first hit wins,
+  // read_stat.hpp:116-135)
   void add_record(StpuFile* f, const char* qname, size_t qlen, uint16_t flag,
                   int32_t rid, int32_t pos) {
+    size_t before = key_to_id.size();
     int32_t id = intern(qname, qlen, flag);
     ++f->hits;
-    uint64_t key = (static_cast<uint64_t>(static_cast<uint32_t>(id)) << 32) |
-                   static_cast<uint32_t>(rid);
-    if (seen.insert(key)) {
-      f->read_id.push_back(id);
-      f->rid.push_back(rid);
-      f->pos.push_back(pos);
+    if (grouped) {
+      if (id == last_id) {
+        for (int32_t c : cur)
+          if (c == rid) return;  // duplicate within the read: first wins
+        cur.push_back(rid);
+        emit(f, id, rid, pos);
+        return;
+      }
+      if (key_to_id.size() > before) {  // brand-new read: new run
+        last_id = id;
+        cur.clear();
+        cur.push_back(rid);
+        emit(f, id, rid, pos);
+        return;
+      }
+      // an old read reappeared non-consecutively: rebuild the pair set
+      // from everything kept so far and take the hash path from here on
+      // (duplicates dropped earlier kept their first instance, which is
+      // in the arrays, so the rebuilt set is complete)
+      grouped = false;
+      seen = PairSet(f->read_id.size() * 2 + (1 << 16));
+      for (size_t i = 0; i < f->read_id.size(); ++i)
+        seen.insert(pack(f->read_id[i], f->rid[i]));
     }
+    if (seen.insert(pack(id, rid))) emit(f, id, rid, pos);
   }
 };
 
-// -- SAM text ---------------------------------------------------------------
+// -- SAM text (chunk-streaming with carry-over) ------------------------------
 
-bool parse_sam(const std::vector<uint8_t>& data, StpuFile* f) {
+struct SamParser {
   Decoder dec;
-  std::unordered_map<std::string, int32_t> rid_of;
-  const char* p = reinterpret_cast<const char*>(data.data());
-  const char* end = p + data.size();
-  while (p < end) {
-    const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
-    const char* line_end = nl ? nl : end;
+  StrMap rid_of;  // contig name -> header index (intern order == index)
+  std::string carry;
+  int64_t line_no = 0;
+
+  void handle_line(StpuFile* f, const char* p, const char* line_end) {
+    ++line_no;
+    if (p == line_end) return;
     if (*p == '@') {
       if (line_end - p >= 3 && p[1] == 'S' && p[2] == 'Q') {
         std::string sn;
         int64_t ln = 0;
         const char* q = p;
         while (q < line_end) {
-          const char* tab = static_cast<const char*>(
-              memchr(q, '\t', line_end - q));
+          const char* tab =
+              static_cast<const char*>(memchr(q, '\t', line_end - q));
           const char* fe = tab ? tab : line_end;
           if (fe - q > 3 && q[2] == ':') {
             if (q[0] == 'S' && q[1] == 'N') sn.assign(q + 3, fe - q - 3);
-            else if (q[0] == 'L' && q[1] == 'N') ln = atoll(std::string(q + 3, fe - q - 3).c_str());
+            else if (q[0] == 'L' && q[1] == 'N')
+              ln = atoll(std::string(q + 3, fe - q - 3).c_str());
           }
           q = fe + 1;
         }
-        if (!sn.empty()) {
-          rid_of[sn] = static_cast<int32_t>(f->ref_names.size());
+        if (!sn.empty() && rid_of.find(sn.data(), sn.size()) < 0) {
+          rid_of.intern(sn.data(), sn.size(), nullptr, 0);
           f->ref_names.push_back(sn);
           f->ref_lens.push_back(ln);
         }
       }
-    } else if (line_end > p) {
-      // fields: qname flag rname pos mapq cigar rnext pnext tlen seq qual
-      const char* field[11];
-      int nf = 0;
-      const char* q = p;
-      field[nf++] = q;
-      while (nf < 11 && q < line_end) {
-        const char* tab = static_cast<const char*>(
-            memchr(q, '\t', line_end - q));
-        if (!tab) break;
-        q = tab + 1;
-        field[nf++] = q;
-      }
-      if (nf >= 11) {
-        size_t qlen = (field[1] - 1) - field[0];
-        uint16_t flag = static_cast<uint16_t>(atoi(field[1]));
-        std::string rname(field[2], (field[3] - 1) - field[2]);
-        int64_t pos1 = atoll(field[3]);
-        const char* seq = field[9];
-        size_t seq_len = (field[10] - 1) - field[9];
-        if (seq_len == 1 && seq[0] == '*') seq_len = 0;
-        dec.sample_len(static_cast<int64_t>(seq_len));
-        int32_t rid = -1;
-        auto it = rid_of.find(rname);
-        if (it != rid_of.end()) rid = it->second;
-        if (!(flag & FLAG_UNMAPPED) && rid >= 0) {
-          dec.add_record(f, field[0], qlen, flag, rid,
-                         static_cast<int32_t>(pos1 - 1));
-        }
-      }
+      return;
     }
-    if (!nl) break;
-    p = nl + 1;
+    // fields: qname flag rname pos mapq cigar rnext pnext tlen seq qual
+    const char* field[11];
+    int nf = 0;
+    const char* q = p;
+    field[nf++] = q;
+    while (nf < 11 && q < line_end) {
+      const char* tab =
+          static_cast<const char*>(memchr(q, '\t', line_end - q));
+      if (!tab) break;
+      q = tab + 1;
+      field[nf++] = q;
+    }
+    if (nf < 11) {  // malformed alignment line: count + skip (SeqAn throws)
+      ++f->malformed;
+      return;
+    }
+    size_t qlen = (field[1] - 1) - field[0];
+    uint16_t flag = static_cast<uint16_t>(atoi(field[1]));
+    int64_t pos1 = atoll(field[3]);
+    const char* seq = field[9];
+    size_t seq_len = (field[10] - 1) - field[9];
+    if (seq_len == 1 && seq[0] == '*') seq_len = 0;
+    dec.sample_len(static_cast<int64_t>(seq_len));
+    int32_t rid = rid_of.find(field[2], (field[3] - 1) - field[2]);
+    if (!(flag & FLAG_UNMAPPED) && rid >= 0) {
+      dec.add_record(f, field[0], qlen, flag, rid,
+                     static_cast<int32_t>(pos1 - 1));
+    }
   }
-  f->n_reads = static_cast<int64_t>(dec.key_to_id.size());
-  if (dec.sample_count == 0) {
-    f->error = "no records with sequences";
-    return false;
+
+  void feed(StpuFile* f, const uint8_t* data, size_t n) {
+    const char* p = reinterpret_cast<const char*>(data);
+    const char* end = p + n;
+    if (!carry.empty()) {
+      const char* nl = static_cast<const char*>(memchr(p, '\n', n));
+      if (!nl) {
+        carry.append(p, n);
+        return;
+      }
+      carry.append(p, nl - p);
+      handle_line(f, carry.data(), carry.data() + carry.size());
+      carry.clear();
+      p = nl + 1;
+    }
+    while (p < end) {
+      const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+      if (!nl) {
+        carry.assign(p, end - p);
+        break;
+      }
+      handle_line(f, p, nl);
+      p = nl + 1;
+    }
   }
-  f->avg_read_len = dec.sample_total / dec.sample_count;
-  return true;
+
+  void finish(StpuFile* f) {
+    if (!carry.empty()) {
+      handle_line(f, carry.data(), carry.data() + carry.size());
+      carry.clear();
+    }
+    f->n_reads = static_cast<int64_t>(dec.key_to_id.size());
+    f->grouped_input = dec.grouped;
+    if (dec.sample_count == 0) throw DecodeError("no records with sequences");
+    f->avg_read_len = dec.sample_total / dec.sample_count;
+  }
+};
+
+// -- BAM binary (chunk-streaming) ---------------------------------------------
+
+// Buffered view over a ByteSource for fixed-width binary parsing.
+struct Stream {
+  ByteSource* src;
+  std::vector<uint8_t> buf;
+  size_t pos = 0;
+  size_t consumed = 0;  // total uncompressed bytes consumed (error context)
+  bool eof = false;
+
+  explicit Stream(ByteSource* s) : src(s) {}
+
+  size_t avail() const { return buf.size() - pos; }
+
+  bool ensure(size_t n) {
+    std::vector<uint8_t> chunk;
+    while (avail() < n && !eof) {
+      if (pos > (1 << 22)) {
+        buf.erase(buf.begin(), buf.begin() + pos);
+        pos = 0;
+      }
+      if (!src->next(chunk)) {
+        eof = true;
+        break;
+      }
+      buf.insert(buf.end(), chunk.begin(), chunk.end());
+    }
+    return avail() >= n;
+  }
+
+  const uint8_t* take(size_t n, const char* what) {
+    if (!ensure(n))
+      throw DecodeError(std::string("truncated BAM stream: ") + what +
+                        " at uncompressed offset " + std::to_string(consumed) +
+                        " (need " + std::to_string(n) + " bytes, have " +
+                        std::to_string(avail()) + ")");
+    const uint8_t* p = buf.data() + pos;
+    pos += n;
+    consumed += n;
+    return p;
+  }
+
+  bool at_end() { return !ensure(1); }
+};
+
+int32_t rd_i32(const uint8_t* p) {
+  int32_t v;
+  memcpy(&v, p, 4);
+  return v;
 }
 
-// -- BAM binary -------------------------------------------------------------
-
-bool parse_bam(const std::vector<uint8_t>& data, StpuFile* f) {
+void parse_bam_stream(Stream& st, StpuFile* f) {
   Decoder dec;
-  if (data.size() < 12 || memcmp(data.data(), "BAM\1", 4) != 0) {
-    f->error = "not a BAM stream";
-    return false;
-  }
-  size_t off = 4;
-  auto rd_i32 = [&](size_t o) {
-    int32_t v;
-    memcpy(&v, data.data() + o, 4);
-    return v;
-  };
-  int32_t l_text = rd_i32(off);
-  off += 4 + static_cast<size_t>(l_text);
-  int32_t n_ref = rd_i32(off);
-  off += 4;
+  const uint8_t* p = st.take(4, "magic");
+  if (memcmp(p, "BAM\1", 4) != 0) throw DecodeError("not a BAM stream");
+  int32_t l_text = rd_i32(st.take(4, "l_text"));
+  if (l_text < 0 || l_text > (1 << 30))
+    throw DecodeError("corrupt BAM header length " + std::to_string(l_text));
+  st.take(static_cast<size_t>(l_text), "header text");
+  int32_t n_ref = rd_i32(st.take(4, "n_ref"));
+  if (n_ref < 0 || n_ref > (1 << 28))
+    throw DecodeError("corrupt BAM n_ref " + std::to_string(n_ref));
   for (int32_t i = 0; i < n_ref; ++i) {
-    int32_t l_name = rd_i32(off);
-    off += 4;
-    f->ref_names.emplace_back(
-        reinterpret_cast<const char*>(data.data() + off), l_name - 1);
-    off += static_cast<size_t>(l_name);
-    f->ref_lens.push_back(rd_i32(off));
-    off += 4;
+    int32_t l_name = rd_i32(st.take(4, "ref name length"));
+    if (l_name <= 0 || l_name > (1 << 20))
+      throw DecodeError("corrupt BAM reference name length at ref " +
+                        std::to_string(i));
+    p = st.take(static_cast<size_t>(l_name), "ref name");
+    f->ref_names.emplace_back(reinterpret_cast<const char*>(p), l_name - 1);
+    f->ref_lens.push_back(rd_i32(st.take(4, "ref length")));
   }
-  const size_t n = data.size();
-  while (off + 4 <= n) {
-    int32_t block_size = rd_i32(off);
-    off += 4;
-    if (block_size < 32 || off + static_cast<size_t>(block_size) > n) break;
-    int32_t ref_id = rd_i32(off);
-    int32_t pos = rd_i32(off + 4);
-    uint8_t l_read_name = data[off + 8];
+  int64_t rec_no = 0;
+  while (!st.at_end()) {
+    size_t rec_off = st.consumed;
+    int32_t block_size = rd_i32(st.take(4, "record block_size"));
+    if (block_size < 32 || block_size > (1 << 28))
+      throw DecodeError("corrupt BAM record size " +
+                        std::to_string(block_size) + " at record " +
+                        std::to_string(rec_no) + ", uncompressed offset " +
+                        std::to_string(rec_off));
+    p = st.take(static_cast<size_t>(block_size), "record body");
+    int32_t ref_id = rd_i32(p);
+    int32_t pos = rd_i32(p + 4);
+    uint8_t l_read_name = p[8];
     uint16_t flag;
-    memcpy(&flag, data.data() + off + 14, 2);
-    int32_t l_seq = rd_i32(off + 16);
-    const char* qname =
-        reinterpret_cast<const char*>(data.data() + off + 32);
+    memcpy(&flag, p + 14, 2);
+    int32_t l_seq = rd_i32(p + 16);
+    if (l_read_name < 1 || 32 + static_cast<int64_t>(l_read_name) > block_size)
+      throw DecodeError("corrupt BAM read name length at record " +
+                        std::to_string(rec_no) + ", uncompressed offset " +
+                        std::to_string(rec_off));
+    if (ref_id < -1 || ref_id >= n_ref)
+      throw DecodeError("BAM refID " + std::to_string(ref_id) +
+                        " out of range at record " + std::to_string(rec_no));
+    const char* qname = reinterpret_cast<const char*>(p + 32);
     dec.sample_len(l_seq);
     if (!(flag & FLAG_UNMAPPED) && ref_id >= 0) {
       dec.add_record(f, qname, l_read_name - 1, flag, ref_id, pos);
     }
-    off += static_cast<size_t>(block_size);
+    ++rec_no;
   }
   f->n_reads = static_cast<int64_t>(dec.key_to_id.size());
-  if (dec.sample_count == 0) {
-    f->error = "no records with sequences";
-    return false;
-  }
+  f->grouped_input = dec.grouped;
+  if (dec.sample_count == 0) throw DecodeError("no records with sequences");
   f->avg_read_len = dec.sample_total / dec.sample_count;
-  return true;
+}
+
+void parse_sam_stream(ByteSource* src, StpuFile* f,
+                      std::vector<uint8_t>& first_chunk, bool have_first) {
+  SamParser parser;
+  std::vector<uint8_t> chunk;
+  if (have_first) parser.feed(f, first_chunk.data(), first_chunk.size());
+  while (src->next(chunk)) parser.feed(f, chunk.data(), chunk.size());
+  parser.finish(f);
+}
+
+// Sniff the container: returns a ByteSource positioned at the start of the
+// DEcompressed stream, plus the first decompressed chunk (for format sniff).
+std::unique_ptr<ByteSource> open_source(const char* path) {
+  FILE* probe = std::fopen(path, "rb");
+  if (!probe) throw DecodeError("cannot open file");
+  uint8_t head[18];
+  size_t got = std::fread(head, 1, sizeof head, probe);
+  std::fclose(probe);
+  if (got >= 2 && head[0] == 0x1f && head[1] == 0x8b) {
+    // gzip: BGZF iff FEXTRA set and a BC subfield exists in the first member
+    bool bgzf = false;
+    if (got >= 18 && head[2] == 8 && (head[3] & 4)) {
+      uint16_t xlen;
+      memcpy(&xlen, head + 10, 2);
+      // minimal check: the standard BGZF layout has the BC subfield first
+      if (xlen >= 6 && head[12] == 66 && head[13] == 67) bgzf = true;
+    }
+    unsigned threads = std::max(1u, std::thread::hardware_concurrency());
+    if (bgzf) return std::make_unique<BgzfSource>(path, threads);
+    return std::make_unique<GzipSource>(path);
+  }
+  return std::make_unique<RawSource>(path);
+}
+
+void group_targets(StpuFile* f) {
+  // group targets by read id (stable counting sort) — the device pipeline
+  // turns per-read reductions into neighbor compares and segmented scans
+  // on contiguous groups
+  const size_t n = f->read_id.size();
+  std::vector<int64_t> offs(static_cast<size_t>(f->n_reads) + 1, 0);
+  for (size_t i = 0; i < n; ++i) ++offs[f->read_id[i] + 1];
+  for (size_t r = 1; r < offs.size(); ++r) offs[r] += offs[r - 1];
+  std::vector<int32_t> gr(n), gc(n), gp(n);
+  for (size_t i = 0; i < n; ++i) {
+    int64_t o = offs[f->read_id[i]]++;
+    gr[o] = f->read_id[i];
+    gc[o] = f->rid[i];
+    gp[o] = f->pos[i];
+  }
+  f->read_id.swap(gr);
+  f->rid.swap(gc);
+  f->pos.swap(gp);
 }
 
 }  // namespace
@@ -339,48 +841,40 @@ extern "C" {
 
 void* stpu_open(const char* path) {
   auto* f = new StpuFile();
-  std::vector<uint8_t> raw;
-  if (!read_whole_file(path, raw)) {
-    f->error = "cannot open file";
-    return f;
-  }
-  bool ok;
-  if (raw.size() >= 2 && raw[0] == 0x1f && raw[1] == 0x8b) {
-    std::vector<uint8_t> plain;
-    if (!gunzip_all(raw, plain)) {
-      f->error = "gzip decode failed";
-      return f;
+  try {
+    auto src = open_source(path);
+    // sniff the decompressed head: "BAM\1" -> binary BAM, else SAM text
+    std::vector<uint8_t> first;
+    bool have_first = src->next(first);
+    // skip possibly-empty leading chunks (e.g. BGZF EOF-only batch)
+    while (have_first && first.empty()) have_first = src->next(first);
+    if (have_first && first.size() >= 4 &&
+        memcmp(first.data(), "BAM\1", 4) == 0) {
+      Stream st(src.get());
+      st.buf = std::move(first);
+      parse_bam_stream(st, f);
+    } else {
+      parse_sam_stream(src.get(), f, first, have_first);
     }
-    ok = parse_bam(plain, f);
-  } else if (raw.size() >= 4 && memcmp(raw.data(), "BAM\1", 4) == 0) {
-    ok = parse_bam(raw, f);
-  } else {
-    ok = parse_sam(raw, f);
-  }
-  if (ok && f->n_reads > 0) {
-    // group targets by read id (stable counting sort) — the device
-    // pipeline turns per-read reductions into neighbor compares and
-    // segmented scans on contiguous groups
-    const size_t n = f->read_id.size();
-    std::vector<int64_t> offs(static_cast<size_t>(f->n_reads) + 1, 0);
-    for (size_t i = 0; i < n; ++i) ++offs[f->read_id[i] + 1];
-    for (size_t r = 1; r < offs.size(); ++r) offs[r] += offs[r - 1];
-    std::vector<int32_t> gr(n), gc(n), gp(n);
-    for (size_t i = 0; i < n; ++i) {
-      int64_t o = offs[f->read_id[i]]++;
-      gr[o] = f->read_id[i];
-      gc[o] = f->rid[i];
-      gp[o] = f->pos[i];
-    }
-    f->read_id.swap(gr);
-    f->rid.swap(gc);
-    f->pos.swap(gp);
+    f->warning = src->warning();
+    // grouped inputs come out of the decoder already in read-id order
+    if (f->n_reads > 0 && !f->grouped_input) group_targets(f);
+  } catch (const std::exception& e) {
+    f->error = e.what();
   }
   return f;
 }
 
 const char* stpu_error(void* h) {
   return static_cast<StpuFile*>(h)->error.c_str();
+}
+
+const char* stpu_warning(void* h) {
+  return static_cast<StpuFile*>(h)->warning.c_str();
+}
+
+int64_t stpu_n_malformed(void* h) {
+  return static_cast<StpuFile*>(h)->malformed;
 }
 
 int64_t stpu_n_refs(void* h) {

@@ -31,8 +31,10 @@ def load_library():
     lib.stpu_open.argtypes = [ctypes.c_char_p]
     lib.stpu_error.restype = ctypes.c_char_p
     lib.stpu_error.argtypes = [ctypes.c_void_p]
+    lib.stpu_warning.restype = ctypes.c_char_p
+    lib.stpu_warning.argtypes = [ctypes.c_void_p]
     for fn in ("stpu_n_refs", "stpu_hits", "stpu_n_targets", "stpu_n_reads",
-               "stpu_avg_read_len"):
+               "stpu_avg_read_len", "stpu_n_malformed"):
         getattr(lib, fn).restype = ctypes.c_int64
         getattr(lib, fn).argtypes = [ctypes.c_void_p]
     lib.stpu_ref_name.restype = ctypes.c_char_p
@@ -75,6 +77,8 @@ class NativeAlignmentFile:
     """Native decoder with the same contract as io.sam.AlignmentFile."""
 
     def __init__(self, path: str):
+        import sys
+
         lib = load_library()
         self._lib = lib
         self.path = path
@@ -84,6 +88,13 @@ class NativeAlignmentFile:
             lib.stpu_close(self._h)
             self._h = None
             raise FileNotFoundError(f"Could not open {path}!")
+        warn = lib.stpu_warning(self._h).decode()
+        if warn:
+            print(f"[WARNING] {path}: {warn}", file=sys.stderr)
+        self.n_malformed = int(lib.stpu_n_malformed(self._h))
+        if self.n_malformed:
+            print(f"[WARNING] {path}: skipped {self.n_malformed} malformed "
+                  "SAM lines", file=sys.stderr)
         n_refs = lib.stpu_n_refs(self._h)
         self.contig_names = [lib.stpu_ref_name(self._h, i).decode()
                              for i in range(n_refs)]

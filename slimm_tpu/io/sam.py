@@ -17,6 +17,7 @@ from __future__ import annotations
 import gzip
 import os
 import struct
+import zlib
 from dataclasses import dataclass
 
 import numpy as np
@@ -50,12 +51,19 @@ class RecordBatch:
     read_keys: list | None = None  # optional (debug/tests)
 
 
-def _is_bam(path: str) -> bool:
+def _sniff(path: str) -> tuple[bool, bool]:
+    """(is_bam, is_gzip) from the container + decompressed magic — a gzipped
+    SAM text file is valid input (the native decoder sniffs identically)."""
     with open(path, "rb") as f:
         head = f.read(4)
-    if head[:2] == b"\x1f\x8b":  # BGZF/gzip
-        return True
-    return head == b"BAM\x01"
+    if head[:2] == b"\x1f\x8b":  # BGZF/gzip container
+        try:
+            with gzip.open(path, "rb") as g:
+                inner = g.read(4)
+        except (OSError, EOFError, zlib.error) as e:
+            raise ValueError(f"{path}: corrupt gzip stream: {e}") from e
+        return inner == b"BAM\x01", True
+    return head == b"BAM\x01", False
 
 
 class AlignmentFile:
@@ -66,20 +74,35 @@ class AlignmentFile:
         self.contig_names: list[str] = []
         self.contig_lengths: np.ndarray | None = None
         self._records = None  # list of (qname, flag, rid, pos, seq_len)
+        self.n_malformed = 0  # skipped malformed SAM lines
         if not os.path.exists(path):
             raise FileNotFoundError(f"Could not open {path}!")
-        if _is_bam(path):
+        is_bam, is_gzip = _sniff(path)
+        if is_bam:
             self._parse_bam()
         else:
-            self._parse_sam()
+            self._parse_sam(gzip.open if is_gzip else open)
+        if self.n_malformed:
+            import sys
+            print(f"[WARNING] {path}: skipped {self.n_malformed} malformed "
+                  "SAM lines", file=sys.stderr)
 
     # -- parsing -------------------------------------------------------------
 
-    def _parse_sam(self):
+    def _parse_sam(self, opener=open):
         names, lengths, records = [], [], []
         rid_of = {}
-        with open(self.path, "rt") as f:
-            for line in f:
+        try:
+            self._parse_sam_lines(opener, names, lengths, records, rid_of)
+        except (EOFError, zlib.error, gzip.BadGzipFile) as e:
+            raise ValueError(f"{self.path}: corrupt gzip stream: {e}") from e
+        self.contig_names = names
+        self.contig_lengths = np.asarray(lengths, np.int64)
+        self._records = records
+
+    def _parse_sam_lines(self, opener, names, lengths, records, rid_of):
+        with opener(self.path, "rt") as f:
+            for line in f:  # file iteration streams; only records are held
                 if line.startswith("@"):
                     if line.startswith("@SQ"):
                         sn, ln = None, None
@@ -95,46 +118,101 @@ class AlignmentFile:
                     continue
                 cols = line.rstrip("\n").split("\t")
                 if len(cols) < 11:
+                    if line.strip():  # malformed: count + warn (SeqAn throws)
+                        self.n_malformed += 1
                     continue
                 qname, flag, rname, pos1 = cols[0], int(cols[1]), cols[2], int(cols[3])
                 seq = cols[9]
                 seq_len = 0 if seq == "*" else len(seq)
                 rid = rid_of.get(rname, -1)
                 records.append((qname, flag, rid, pos1 - 1, seq_len))
-        self.contig_names = names
-        self.contig_lengths = np.asarray(lengths, np.int64)
-        self._records = records
 
     def _parse_bam(self):
-        # BGZF is a series of gzip members; python gzip handles concatenation.
-        with gzip.open(self.path, "rb") as f:
-            data = f.read()
-        if data[:4] != b"BAM\x01":
-            raise ValueError(f"{self.path}: not a BAM file")
-        off = 4
-        (l_text,) = struct.unpack_from("<i", data, off)
-        off += 4 + l_text
-        (n_ref,) = struct.unpack_from("<i", data, off)
-        off += 4
-        names, lengths = [], []
-        for _ in range(n_ref):
-            (l_name,) = struct.unpack_from("<i", data, off)
-            off += 4
-            names.append(data[off:off + l_name - 1].decode())
-            off += l_name
-            (l_ref,) = struct.unpack_from("<i", data, off)
-            off += 4
-            lengths.append(l_ref)
-        records = []
-        n = len(data)
-        while off + 4 <= n:
-            (block_size,) = struct.unpack_from("<i", data, off)
-            off += 4
-            (ref_id, pos, l_read_name, _mapq, _bin, _n_cigar, flag, l_seq
-             ) = struct.unpack_from("<iiBBHHHi", data, off)
-            qname = data[off + 32:off + 32 + l_read_name - 1].decode()
-            records.append((qname, flag, ref_id, pos, l_seq))
-            off += block_size
+        # BGZF is a series of gzip members; python gzip streams across the
+        # concatenation.  The raw/inflated file is never fully resident —
+        # a bounded window is pulled per record (truncation raises).
+        head = open(self.path, "rb").read(4)
+        opener = open if head == b"BAM\x01" else gzip.open
+        with opener(self.path, "rb") as f:
+            buf = bytearray()
+            pos = 0
+            consumed = 0
+
+            def take(n: int, what: str) -> bytes:
+                nonlocal buf, pos, consumed
+                while len(buf) - pos < n:
+                    if pos > (1 << 22):
+                        del buf[:pos]
+                        pos = 0
+                    try:
+                        chunk = f.read(1 << 20)
+                    except (OSError, EOFError, zlib.error) as e:
+                        raise ValueError(
+                            f"{self.path}: corrupt gzip/BGZF stream near "
+                            f"uncompressed offset {consumed}: {e}") from e
+                    if not chunk:
+                        raise ValueError(
+                            f"{self.path}: truncated BAM stream: {what} at "
+                            f"uncompressed offset {consumed} (need {n} "
+                            f"bytes, have {len(buf) - pos})")
+                    buf.extend(chunk)
+                out = bytes(buf[pos:pos + n])  # copy: buf resizes later
+                pos += n
+                consumed += n
+                return out
+
+            def at_end() -> bool:
+                nonlocal buf, pos
+                if len(buf) - pos > 0:
+                    return False
+                chunk = f.read(1 << 20)
+                if not chunk:
+                    return True
+                buf.extend(chunk)
+                return False
+
+            if take(4, "magic") != b"BAM\x01":
+                raise ValueError(f"{self.path}: not a BAM file")
+            (l_text,) = struct.unpack("<i", take(4, "l_text"))
+            if not (0 <= l_text < (1 << 30)):
+                raise ValueError(f"{self.path}: corrupt BAM header length "
+                                 f"{l_text}")
+            take(l_text, "header text")
+            (n_ref,) = struct.unpack("<i", take(4, "n_ref"))
+            if not (0 <= n_ref < (1 << 28)):
+                raise ValueError(f"{self.path}: corrupt BAM n_ref {n_ref}")
+            names, lengths = [], []
+            for i in range(n_ref):
+                (l_name,) = struct.unpack("<i", take(4, "ref name length"))
+                if not (1 <= l_name < (1 << 20)):
+                    raise ValueError(f"{self.path}: corrupt BAM reference "
+                                     f"name length at ref {i}")
+                names.append(take(l_name, "ref name")[:-1].decode())
+                (l_ref,) = struct.unpack("<i", take(4, "ref length"))
+                lengths.append(l_ref)
+            records = []
+            rec_no = 0
+            while not at_end():
+                rec_off = consumed
+                (block_size,) = struct.unpack("<i", take(4, "record size"))
+                if not (32 <= block_size < (1 << 28)):
+                    raise ValueError(
+                        f"{self.path}: corrupt BAM record size {block_size} "
+                        f"at record {rec_no}, uncompressed offset {rec_off}")
+                body = take(block_size, "record body")
+                (ref_id, rpos, l_read_name, _mapq, _bin, _n_cigar, flag,
+                 l_seq) = struct.unpack_from("<iiBBHHHi", body, 0)
+                if l_read_name < 1 or 32 + l_read_name > block_size:
+                    raise ValueError(
+                        f"{self.path}: corrupt BAM read name length at "
+                        f"record {rec_no}, uncompressed offset {rec_off}")
+                if not (-1 <= ref_id < n_ref):
+                    raise ValueError(
+                        f"{self.path}: BAM refID {ref_id} out of range at "
+                        f"record {rec_no}")
+                qname = body[32:32 + l_read_name - 1].decode()
+                records.append((qname, flag, ref_id, rpos, l_seq))
+                rec_no += 1
         self.contig_names = names
         self.contig_lengths = np.asarray(lengths, np.int64)
         self._records = records

@@ -155,12 +155,38 @@ def write_sam(d: str, records, name: str = "toy-reads.sam"):
     return sam_path
 
 
-def write_bam(d: str, records, name: str = "toy-reads.bam"):
-    """Minimal BAM writer (gzip container; decoders accept any gzip stream)."""
-    import gzip
+# 28-byte empty BGZF block marking end-of-file (SAM spec §4.1.2)
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+
+def bgzf_compress(data: bytes, block_payload: int = 0xff00,
+                  eof_marker: bool = True) -> bytes:
+    """True BGZF: gzip members with the BC extra subfield + EOF marker."""
+    import struct
+    import zlib
+
+    out = bytearray()
+    for i in range(0, len(data), block_payload) or [0]:
+        chunk = data[i:i + block_payload]
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        cdata = co.compress(chunk) + co.flush()
+        xlen = 6
+        bsize = len(cdata) + 12 + xlen + 8
+        assert bsize <= 0x10000, "BGZF block overflow"
+        out += struct.pack("<BBBBIBBH", 0x1f, 0x8b, 8, 4, 0, 0, 0xff, xlen)
+        out += struct.pack("<BBHH", 66, 67, 2, bsize - 1)   # BC subfield
+        out += cdata
+        out += struct.pack("<II", zlib.crc32(chunk) & 0xFFFFFFFF, len(chunk))
+    if eof_marker:
+        out += BGZF_EOF
+    return bytes(out)
+
+
+def make_bam_body(records) -> bytes:
+    """Uncompressed BAM byte stream for the toy records."""
     import struct
 
-    bam_path = os.path.join(d, name)
     rng = np.random.default_rng(1)
     body = bytearray()
     body += b"BAM\x01"
@@ -186,8 +212,27 @@ def write_bam(d: str, records, name: str = "toy-reads.bam"):
                           -1, -1, 0)
         rec += qn + cigar + bytes(packed) + qual
         body += struct.pack("<i", len(rec)) + rec
-    with gzip.open(bam_path, "wb") as f:
-        f.write(bytes(body))
+    return bytes(body)
+
+
+def write_bam(d: str, records, name: str = "toy-reads.bam",
+              container: str = "bgzf"):
+    """BAM writer: proper BGZF container by default ("bgzf"); "gzip" writes
+    a plain single-member gzip stream (legal input, exercises the streaming
+    gzip path); "raw" writes the uncompressed BAM stream."""
+    bam_path = os.path.join(d, name)
+    body = make_bam_body(records)
+    if container == "bgzf":
+        data = bgzf_compress(body)
+    elif container == "gzip":
+        import gzip as _gzip
+        data = _gzip.compress(body)
+    elif container == "raw":
+        data = body
+    else:
+        raise ValueError(container)
+    with open(bam_path, "wb") as f:
+        f.write(data)
     return bam_path
 
 
