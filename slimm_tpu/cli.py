@@ -144,7 +144,12 @@ def cmd_profile(args) -> int:
         cov_cut_off=args.cov_cut_off, abundance_cut_off=args.abundance_cut_off,
         is_directory=args.directory, raw_output=args.raw_output,
         coverage_output=args.coverage_output, verbose=args.verbose)
-    engine = EngineOptions(num_shards=args.shards, trace_dir=args.trace_dir)
+    # the full bin-resolution histograms are only needed for -ro/-co output;
+    # the abundance path uses per-contig integers (skipping them removes the
+    # largest device op at full-RefSeq bin counts)
+    engine = EngineOptions(num_shards=args.shards, trace_dir=args.trace_dir,
+                           fetch_coverage=args.raw_output
+                           or args.coverage_output)
 
     stop_watch = Timer()
     paths = collect_bam_files(options.input_path, options.is_directory,

@@ -76,13 +76,18 @@ MAX_WINDOW = 4
 
 
 def _bucket(n: int, quantum: int = 8192) -> int:
-    """Round up to a padding bucket (limits jit recompiles across files)."""
+    """Round up to a padding bucket (limits jit recompiles across files).
+
+    Geometric 1.25x steps snapped to 2048 (the Pallas hist kernel chunk)
+    bound padding waste at ~25% (power-of-two buckets wasted up to 2x —
+    every per-record op pays the padding) while keeping the number of
+    distinct compiled shapes logarithmic."""
     if n <= quantum:
         return max(quantum, 1)
-    b = quantum
+    b = float(quantum)
     while b < n:
-        b *= 2
-    return b
+        b *= 1.25
+    return -(-int(b) // 2048) * 2048
 
 
 # ---------------------------------------------------------------------------
@@ -105,6 +110,46 @@ def _boundary_sums(values, starts, ends):
     pathologically on the current toolchain)."""
     cs = jnp.concatenate([jnp.zeros(1, values.dtype), _cumsum_1d(values)])
     return cs[ends] - cs[starts]
+
+
+def _contig_sums_nz(values, starts, ends):
+    """(per-contig sums, per-contig nonzero counts) over the flat bin axis
+    in ONE read of `values`.
+
+    Full-cumsum boundary sums read AND write the whole bin axis per counter;
+    at full-RefSeq bin counts (tens of millions) that HBM traffic dominates.
+    This reads `values` once for 1024-wide row totals (sum + nonzero), does
+    a tiny row-prefix cumsum, and reconstructs exact prefix values at the
+    2C boundary positions from gathered edge rows."""
+    B = values.shape[0]
+    R = B // 1024
+    m = values.reshape(R, 1024)
+    row_tot = jnp.sum(m, axis=1, dtype=jnp.int32)
+    row_nz = jnp.sum((m > 0).astype(jnp.int32), axis=1, dtype=jnp.int32)
+
+    Rp = -(-R // 1024) * 1024
+    pad = jnp.zeros(Rp - R, jnp.int32)
+
+    def exprefix(rt):
+        cs = _cumsum_1d(jnp.concatenate([rt, pad]))
+        # exclusive prefix per row + total appended for pos == B
+        return jnp.concatenate([jnp.zeros(1, jnp.int32), cs[:R]])
+
+    pre_tot = exprefix(row_tot)
+    pre_nz = exprefix(row_nz)
+
+    pos = jnp.concatenate([starts, ends])          # (2C,)
+    r = pos // 1024
+    c = pos - r * 1024
+    rows = m[jnp.clip(r, 0, R - 1)]                # (2C, 1024) edge rows
+    colmask = jnp.arange(1024, dtype=jnp.int32)[None, :] < c[:, None]
+    part_tot = jnp.sum(jnp.where(colmask, rows, 0), axis=1, dtype=jnp.int32)
+    part_nz = jnp.sum(jnp.where(colmask & (rows > 0), 1, 0), axis=1,
+                      dtype=jnp.int32)
+    cs_tot = pre_tot[r] + part_tot
+    cs_nz = pre_nz[r] + part_nz
+    C = starts.shape[0]
+    return (cs_tot[C:] - cs_tot[:C], cs_nz[C:] - cs_nz[:C])
 
 
 def _shift_right(x, d, fill):
@@ -241,25 +286,41 @@ def _pass_a_local(read_id, rid, pos, lengths_u32, bin_offset,
 
 def _quantile_cut_off_dev(vals, mask, q):
     """Device mass-quantile, bit-exact vs state.quantile_cut_off
-    (reference misc.hpp:197-216).
+    (reference misc.hpp:197-216); single-vector wrapper over the two-lane
+    scan below."""
+    cc, _ = _quantile2_dev(vals, vals, mask, q)
+    return cc
+
+
+def _quantile2_dev(vals1, vals2, mask, q):
+    """TWO device mass-quantiles over one shared mask in one pair of scans
+    (the engine always needs cov + uniq_cov cutoffs together), bit-exact vs
+    state.quantile_cut_off (reference misc.hpp:197-216).
 
     total accumulates float32-sequentially in the original (contig) order;
     the walk descends the sorted values from the top until
     cumulative/total >= q and returns the element below the stop index.
     Zero total yields NaN ratios (NaN < q is False) so the walk breaks at
     the top and returns the max element.  Empty selection returns 0.
+
+    The scans are inherently sequential (bit-exact f32 accumulation order)
+    but each step is trivial — unroll=16 amortizes the per-step overhead
+    (~5x on v5e at C=5000).
     """
-    C = vals.shape[0]
-    contrib = jnp.where(mask, vals, jnp.float32(0.0))
+    C = vals1.shape[0]
+    vv = jnp.stack([vals1, vals2], axis=1)              # (C, 2)
+    contrib = jnp.where(mask[:, None], vv, jnp.float32(0.0))
 
     def add(c, v):
         return (c + v).astype(jnp.float32), None
 
-    total, _ = jax.lax.scan(add, jnp.float32(0.0), contrib)
+    total, _ = jax.lax.scan(add, jnp.zeros(2, jnp.float32), contrib,
+                            unroll=16)
 
     m = mask.sum()
-    sv = jnp.sort(jnp.where(mask, vals, jnp.float32(np.inf)))  # valid asc
-    rv = sv[::-1]                                              # inf head
+    inf = jnp.float32(np.inf)
+    sv = jnp.sort(jnp.where(mask[:, None], vv, inf), axis=0)  # valid asc
+    rv = sv[::-1]                                             # inf head
     posn = jnp.arange(C)
     # the reference walks i = n-1 .. 1 (i == 0 is never checked)
     chk = (posn >= C - m) & (posn <= C - 2)
@@ -275,10 +336,13 @@ def _quantile_cut_off_dev(vals, mask, q):
         return (sub, found, ans), None
 
     (_, found, ans), _ = jax.lax.scan(
-        step, (jnp.float32(0.0), jnp.bool_(False), jnp.float32(0.0)),
-        (rv, chk))
+        step,
+        (jnp.zeros(2, jnp.float32), jnp.zeros(2, bool),
+         jnp.zeros(2, jnp.float32)),
+        (rv, chk), unroll=16)
     res = jnp.where(found, ans, rv[C - 1])   # fell through → v[0]
-    return jnp.where(m == 0, jnp.float32(0.0), res)
+    res = jnp.where(m == 0, jnp.float32(0.0), res)
+    return res[0], res[1]
 
 
 def _lineage_rows(lineage, ridx, n_contigs, n_dense):
@@ -297,11 +361,15 @@ def _lineage_rows(lineage, ridx, n_contigs, n_dense):
 
 def _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
                   *, n_contigs, total_bins_pad, n_dense, k_steps, window,
-                  use_pallas=False):
+                  use_pallas=False, emit_coverage=True):
     """Filtered re-dedup + vectorized LCA (slimm.hpp:351-392, 516-557).
 
-    One fused scatter covers both the uniq_cov2 histogram and the per-taxid
-    LCA counts.
+    emit_coverage=True: one fused bin-domain scatter covers both the
+    uniq_cov2 histogram and the per-taxid LCA counts.  emit_coverage=False
+    (no -ro/-co output requested): the reports only need PER-CONTIG uniq2
+    counts, so the bin-domain histogram is skipped entirely and one small
+    fused histogram over [contigs | dense taxids] replaces it — at
+    full-RefSeq bin counts that removes pass B's largest op.
     """
     rid_c = jnp.clip(rid, 0, n_contigs - 1)
     tmask = nondup & valid_mask[rid_c]
@@ -363,33 +431,43 @@ def _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
     first_level = jnp.where(z != 0,
                             jax.lax.population_count(lsb - 1), 7)
     # lineage[max_rid][first agreeing level (or 7)] — slimm.hpp:516-531;
-    # row gather + one-hot select (a 2-index gather would be another
-    # ~110M rows/s elementwise gather)
+    # row gather + one-hot select.  (A joint (N, 9) [rid | row] segment
+    # reduce avoids this second gather but OOMs at scale: TPU HBM pads the
+    # minor dim to 128 lanes, so every (N, 9) temp costs 14x its size.)
     lv_mx = _lineage_rows(lineage, rid_mx, n_contigs, n_dense)   # (N, 8)
     lvl_hot = first_level[:, None] == jnp.arange(8, dtype=jnp.int32)[None, :]
     lca_end = jnp.sum(jnp.where(lvl_hot, lv_mx, 0), axis=1)
 
-    # ONE fused histogram: [0, Bp) = uniq_cov2, [Bp, Bp+n_dense) =
-    # per-dense-taxid LCA counts (records with weight 0 contribute nothing)
-    dom = -(-(total_bins_pad + n_dense) // 1024) * 1024
-    idx = jnp.where(t_u2, t_gbin, total_bins_pad + jnp.clip(lca_end, 0,
-                                                            n_dense - 1))
-    combined = _hist1(idx, t_u2 | multi_end, dom, use_pallas)
-    uniq_cov2 = combined[:total_bins_pad]
-    taxon_counts = combined[total_bins_pad:total_bins_pad + n_dense]
+    out = {}
+    lca_clip = jnp.clip(lca_end, 0, n_dense - 1)
+    if emit_coverage:
+        # ONE fused histogram: [0, Bp) = uniq_cov2, [Bp, Bp+n_dense) =
+        # per-dense-taxid LCA counts (weight-0 records contribute nothing)
+        dom = -(-(total_bins_pad + n_dense) // 1024) * 1024
+        idx = jnp.where(t_u2, t_gbin, total_bins_pad + lca_clip)
+        combined = _hist1(idx, t_u2 | multi_end, dom, use_pallas)
+        out["uniq_cov2"] = combined[:total_bins_pad]
+        out["taxon_counts"] = combined[
+            total_bins_pad:total_bins_pad + n_dense]
+    else:
+        # small fused histogram: [0, Cp) = per-contig uniq2 counts,
+        # [Cp, Cp+n_dense) = LCA counts — no bin-domain op at all
+        cp = -(-n_contigs // 1024) * 1024
+        dom = -(-(cp + n_dense) // 1024) * 1024
+        idx = jnp.where(t_u2, rid_c, cp + lca_clip)
+        combined = _hist1(idx, t_u2 | multi_end, dom, use_pallas)
+        out["u2_counts"] = combined[:n_contigs]
+        out["taxon_counts"] = combined[cp:cp + n_dense]
 
     # (lca, contig) pairs for children sets; -1 marks padding
     lca_b = _backfill_from_ends(read_id, jnp.where(multi_end, lca_end, -1),
                                 end_mask, jnp.int32(-1),
                                 k_steps=k_steps, window=window)
     t_multi = tmask & (total > 1)
-    pair_lca = jnp.where(t_multi, lca_b, -1)
-    pair_rid = jnp.where(t_multi, rid, -1)
-
-    uniq_matches2 = jnp.sum((end_mask & (cnt == 1)).astype(jnp.int32))
-    return dict(uniq_cov2=uniq_cov2, taxon_counts=taxon_counts,
-                pair_lca=pair_lca, pair_rid=pair_rid,
-                uniq_matches2=uniq_matches2)
+    out["pair_lca"] = jnp.where(t_multi, lca_b, -1)
+    out["pair_rid"] = jnp.where(t_multi, rid, -1)
+    out["uniq_matches2"] = jnp.sum((end_mask & (cnt == 1)).astype(jnp.int32))
+    return out
 
 
 # packed layout: 6 rows of n_contigs + 8 scalars + n_dense taxon counts
@@ -399,13 +477,15 @@ _N_SCALARS = 8
 def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                 half, bin_width, lineage, q, *, n_contigs, total_bins_pad,
                 n_dense, dedup_window, k_steps, window, use_pallas=False,
-                psum_axis=None):
+                psum_axis=None, emit_coverage=True):
     """The whole per-file profile in one traced computation.
 
     Returns dict with `packed` (int32[6*C + 8 + n_dense]: reads_count,
     uniq_reads_count, nz_cov, nz_uniq, uniq_reads_count2, valid_mask,
     scalars [uniq_matches, uniq_matches2, cc<bitcast>, ucc<bitcast>, ...],
-    taxon_counts) plus the full histograms and (lca, contig) pair arrays.
+    taxon_counts) plus (lca, contig) pair arrays, and the full histograms
+    when emit_coverage (needed for -ro/-co reports; the abundance path
+    needs only the packed per-contig integers).
     Under shard_map, psum_axis names the data axis for the exact integer
     merges; everything after the first psum is replicated computation.
     """
@@ -421,12 +501,9 @@ def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
         uniq_matches = jax.lax.psum(uniq_matches, psum_axis)
 
     # per-contig counters from the MERGED histograms (occupancy does not
-    # commute with summation)
-    rc = _boundary_sums(cov, bin_offset, bin_ends)
-    urc = _boundary_sums(uniq_cov, bin_offset, bin_ends)
-    nzc = _boundary_sums((cov > 0).astype(jnp.int32), bin_offset, bin_ends)
-    nzu = _boundary_sums((uniq_cov > 0).astype(jnp.int32), bin_offset,
-                         bin_ends)
+    # commute with summation); sums + nonzero counts share one pass
+    rc, nzc = _contig_sums_nz(cov, bin_offset, bin_ends)
+    urc, nzu = _contig_sums_nz(uniq_cov, bin_offset, bin_ends)
 
     # device cutoffs + validity mask (slimm.hpp:328-343, 351-361, 672-688)
     nbins_f = (bin_ends - bin_offset).astype(jnp.float32)
@@ -434,24 +511,30 @@ def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
     ucovp = nzu.astype(jnp.float32) / nbins_f
     sel = urc > 0
     use_cut = q < jnp.float32(1.0)
-    cc = jnp.where(use_cut, _quantile_cut_off_dev(covp, sel, q),
-                   jnp.float32(0.0))
-    ucc = jnp.where(use_cut, _quantile_cut_off_dev(ucovp, sel, q),
-                    jnp.float32(0.0))
+    cc_q, ucc_q = _quantile2_dev(covp, ucovp, sel, q)
+    cc = jnp.where(use_cut, cc_q, jnp.float32(0.0))
+    ucc = jnp.where(use_cut, ucc_q, jnp.float32(0.0))
     valid_mask = (rc > 0) & (covp >= cc) & (ucovp >= ucc)
 
     b = _pass_b_local(read_id, rid, a["t_gbin"], a["nondup"], valid_mask,
                       lineage, n_contigs=n_contigs,
                       total_bins_pad=total_bins_pad, n_dense=n_dense,
                       k_steps=k_steps, window=window,
-                      use_pallas=use_pallas)
-    uniq_cov2, taxon_counts = b["uniq_cov2"], b["taxon_counts"]
+                      use_pallas=use_pallas, emit_coverage=emit_coverage)
+    taxon_counts = b["taxon_counts"]
     uniq_matches2 = b["uniq_matches2"]
+    if emit_coverage:
+        uniq_cov2 = b["uniq_cov2"]
+        if psum_axis is not None:
+            uniq_cov2 = jax.lax.psum(uniq_cov2, psum_axis)
+        u2, _ = _contig_sums_nz(uniq_cov2, bin_offset, bin_ends)
+    else:
+        u2 = b["u2_counts"]
+        if psum_axis is not None:
+            u2 = jax.lax.psum(u2, psum_axis)
     if psum_axis is not None:
-        uniq_cov2 = jax.lax.psum(uniq_cov2, psum_axis)
         taxon_counts = jax.lax.psum(taxon_counts, psum_axis)
         uniq_matches2 = jax.lax.psum(uniq_matches2, psum_axis)
-    u2 = _boundary_sums(uniq_cov2, bin_offset, bin_ends)
 
     scalars = jnp.stack([
         uniq_matches, uniq_matches2,
@@ -461,22 +544,26 @@ def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
     packed = jnp.concatenate([rc, urc, nzc, nzu, u2,
                               valid_mask.astype(jnp.int32), scalars,
                               taxon_counts])
-    return dict(packed=packed, cov=cov, uniq_cov=uniq_cov,
-                uniq_cov2=uniq_cov2, pair_lca=b["pair_lca"],
-                pair_rid=b["pair_rid"])
+    out = dict(packed=packed, pair_lca=b["pair_lca"],
+               pair_rid=b["pair_rid"])
+    if emit_coverage:
+        out.update(cov=cov, uniq_cov=uniq_cov, uniq_cov2=uniq_cov2)
+    return out
 
 
 @partial(jax.jit, static_argnames=("n_contigs", "total_bins_pad", "n_dense",
                                    "dedup_window", "k_steps", "window",
-                                   "use_pallas"))
+                                   "use_pallas", "emit_coverage"))
 def fused_profile(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                   half, bin_width, lineage, q, *, n_contigs, total_bins_pad,
-                  n_dense, dedup_window, k_steps, window, use_pallas=False):
+                  n_dense, dedup_window, k_steps, window, use_pallas=False,
+                  emit_coverage=True):
     return _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                        half, bin_width, lineage, q, n_contigs=n_contigs,
                        total_bins_pad=total_bins_pad, n_dense=n_dense,
                        dedup_window=dedup_window, k_steps=k_steps,
-                       window=window, use_pallas=use_pallas)
+                       window=window, use_pallas=use_pallas,
+                       emit_coverage=emit_coverage)
 
 
 def unpack_stats(packed_np, n_contigs, n_dense):
@@ -618,7 +705,8 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
                             jnp.asarray(lengths_u32),
                             jnp.asarray(bin_offset), jnp.asarray(bin_ends),
                             half, bw, jnp.asarray(dense.lineage), q,
-                            use_pallas=use_pallas, **kw)
+                            use_pallas=use_pallas,
+                            emit_coverage=engine.fetch_coverage, **kw)
 
     _finalize_state(st, out, dense, total_bins, engine, options, timer)
     return st
@@ -640,6 +728,10 @@ def _finalize_state(st, out, dense, total_bins, engine, options, timer):
         st.cov = np.asarray(out["cov"])[:total_bins].astype(np.uint32)
         st.uniq_cov = np.asarray(out["uniq_cov"])[:total_bins].astype(
             np.uint32)
+    else:
+        # drop the zero-filled placeholders so bin-level access without a
+        # fetch fails loudly instead of reading silent zeros
+        st.cov = st.uniq_cov = st.uniq_cov2 = None
     st.compute_abundances()
     timer.lap()
 
@@ -738,7 +830,8 @@ def fused_profile_batch(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                           lineage, q, n_contigs=n_contigs,
                           total_bins_pad=total_bins_pad, n_dense=n_dense,
                           dedup_window=dedup_window, k_steps=k_steps,
-                          window=window, use_pallas=use_pallas)
+                          window=window, use_pallas=use_pallas,
+                          emit_coverage=emit_coverage)
         ys = (out["packed"], out["pair_lca"], out["pair_rid"])
         if emit_coverage:
             ys = ys + (out["cov"], out["uniq_cov"], out["uniq_cov2"])

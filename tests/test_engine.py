@@ -288,3 +288,31 @@ def test_nested_lca_propagation_pinned(toy_dir):
         "k__Bacteria|p__Firmicutes|c__Bacilli|o__Bacillales|f__Bacillaceae",
         "11.4504", "60")
     assert rows[-1][1] == "0*" and rows[-1][4] == "20"
+
+
+def test_engine_no_coverage_fetch_matches_oracle(toy_dir):
+    # fetch_coverage=False (the default CLI profile run): the bin-domain
+    # uniq_cov2 histogram is replaced by small per-contig/per-taxid
+    # histograms — every integer counter and report row must be unchanged
+    db = build_toy_db(toy_dir)
+    af = AlignmentFile(toy_dir.sam_path)
+    oracle = OracleProfiler(ProfileOptions(), copy.deepcopy(db).ac__taxid,
+                            copy.deepcopy(db).taxid__name,
+                            list(zip(af.contig_names,
+                                     af.contig_lengths.tolist())))
+    st_o = oracle.run(af.raw_records())
+    st_e = profile_file(ProfileOptions(), copy.deepcopy(db),
+                        toy_dir.sam_path,
+                        engine=EngineOptions(phase_log=False,
+                                             fetch_coverage=False))
+    for name in ("hits_count", "matches_count", "uniq_matches_count",
+                 "uniq_matches_count2", "reference_count"):
+        assert getattr(st_o, name) == getattr(st_e, name), name
+    np.testing.assert_array_equal(st_o.reads_count, st_e.reads_count)
+    np.testing.assert_array_equal(st_o.uniq_reads_count2,
+                                  st_e.uniq_reads_count2)
+    assert st_o.valid_ref_ids == st_e.valid_ref_ids
+    assert st_o.taxon_id__read_count == st_e.taxon_id__read_count
+    assert st_o.taxon_id__children == st_e.taxon_id__children
+    assert st_o.abundance_rows() == st_e.abundance_rows()
+    assert st_e.cov is None and st_e.uniq_cov2 is None  # not fetched
