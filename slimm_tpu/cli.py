@@ -62,6 +62,10 @@ def build_profile_parser(sub) -> argparse.ArgumentParser:
     # TPU execution knobs (no reference analogue; results are invariant)
     p.add_argument("--shards", type=int, default=None,
                    help="data-parallel device shards (default: all devices)")
+    p.add_argument("--model-shards", type=int, default=1,
+                   help="shard the coverage-state bin axis over this many "
+                        "devices (for databases whose bin tables exceed "
+                        "one device; results are bit-identical)")
     p.add_argument("--no-device", action="store_true",
                    help="run the scalar oracle instead of the TPU engine")
     p.add_argument("--trace-dir", default=None,
@@ -128,6 +132,16 @@ def _enable_compilation_cache() -> None:
 
 def cmd_profile(args) -> int:
     # imports deferred so `build`/`collect` don't touch jax
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # the container sitecustomize pins jax_platforms after env parsing;
+        # re-apply the user's env choice before first device use
+        import jax
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     _enable_compilation_cache()
     from .database import SlimmDatabase
     from .engine import profile_file
@@ -157,9 +171,12 @@ def cmd_profile(args) -> int:
     db = SlimmDatabase.load(options.database_path)
 
     runner = None
-    if not args.no_device and args.shards is not None and args.shards > 1:
+    if not args.no_device and (
+            (args.shards is not None and args.shards > 1)
+            or args.model_shards > 1):
         from .parallel import ShardedRunner
-        runner = ShardedRunner(num_shards=args.shards)
+        runner = ShardedRunner(num_shards=args.shards,
+                               model_shards=args.model_shards)
 
     total_hits = 0
     import copy

@@ -241,7 +241,8 @@ def _hist1(idx, w, n_bins_pad, use_pallas):
 
 def _pass_a_local(read_id, rid, pos, lengths_u32, bin_offset,
                   half, bin_width, *, n_contigs, total_bins_pad,
-                  dedup_window, k_steps, window, use_pallas=False):
+                  dedup_window, k_steps, window, use_pallas=False,
+                  bin_lo=None, hist_bins=None):
     """Grouped records → dedup mask, binning, uniqueness, coverage.
 
     read_id/rid/pos are int32[N_pad] record arrays padded with read_id ==
@@ -249,6 +250,11 @@ def _pass_a_local(read_id, rid, pos, lengths_u32, bin_offset,
     input is already dedup'd per (read, contig) with first-hit positions
     (native decoder path); dedup_window >= max_run-1 applies the
     read_stat::add_target first-hit-wins rule on device.
+
+    Under bin-axis ("model") sharding, bin_lo (traced) + hist_bins (static)
+    restrict the histograms to this shard's bin range [bin_lo, bin_lo +
+    hist_bins): out-of-range records carry zero weight and the local
+    domain is hist_bins (SURVEY.md §2.4 row 2).
     """
     valid = read_id >= 0
     rid_c = jnp.clip(rid, 0, n_contigs - 1)
@@ -277,8 +283,15 @@ def _pass_a_local(read_id, rid, pos, lengths_u32, bin_offset,
     uniq_matches = jnp.sum((end_mask & (cnt_end == 1)).astype(jnp.int32))
 
     # coverage histograms (MXU one-hot kernel on TPU, scatters elsewhere)
-    cov, uniq_cov = _hist2(t_gbin, nondup, t_uniq, total_bins_pad,
-                           use_pallas)
+    if bin_lo is None:
+        hist_idx, w1, w2 = t_gbin, nondup, t_uniq
+        dom = total_bins_pad if hist_bins is None else hist_bins
+    else:
+        hist_idx = t_gbin - bin_lo
+        in_range = (hist_idx >= 0) & (hist_idx < hist_bins)
+        w1, w2 = nondup & in_range, t_uniq & in_range
+        dom = hist_bins
+    cov, uniq_cov = _hist2(hist_idx, w1, w2, dom, use_pallas)
 
     return dict(t_gbin=t_gbin, nondup=nondup, cov=cov, uniq_cov=uniq_cov,
                 uniq_matches=uniq_matches)
@@ -361,7 +374,8 @@ def _lineage_rows(lineage, ridx, n_contigs, n_dense):
 
 def _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
                   *, n_contigs, total_bins_pad, n_dense, k_steps, window,
-                  use_pallas=False, emit_coverage=True):
+                  use_pallas=False, emit_coverage=True, bin_lo=None,
+                  hist_bins=None):
     """Filtered re-dedup + vectorized LCA (slimm.hpp:351-392, 516-557).
 
     emit_coverage=True: one fused bin-domain scatter covers both the
@@ -440,7 +454,18 @@ def _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
 
     out = {}
     lca_clip = jnp.clip(lca_end, 0, n_dense - 1)
-    if emit_coverage:
+    if emit_coverage and bin_lo is not None:
+        # model-sharded: local-range uniq_cov2 slice + separate LCA hist
+        # (the LCA counts are bin-independent, identical on every model
+        # shard — merged over the data axis only)
+        li = t_gbin - bin_lo
+        in_range = (li >= 0) & (li < hist_bins)
+        out["uniq_cov2"] = _hist1(li, t_u2 & in_range, hist_bins,
+                                  use_pallas)
+        ndp = -(-n_dense // 1024) * 1024
+        out["taxon_counts"] = _hist1(lca_clip, multi_end, ndp,
+                                     use_pallas)[:n_dense]
+    elif emit_coverage:
         # ONE fused histogram: [0, Bp) = uniq_cov2, [Bp, Bp+n_dense) =
         # per-dense-taxid LCA counts (weight-0 records contribute nothing)
         dom = -(-(total_bins_pad + n_dense) // 1024) * 1024
@@ -477,7 +502,8 @@ _N_SCALARS = 8
 def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                 half, bin_width, lineage, q, *, n_contigs, total_bins_pad,
                 n_dense, dedup_window, k_steps, window, use_pallas=False,
-                psum_axis=None, emit_coverage=True):
+                psum_axis=None, emit_coverage=True, model_axis=None,
+                model_shards=1):
     """The whole per-file profile in one traced computation.
 
     Returns dict with `packed` (int32[6*C + 8 + n_dense]: reads_count,
@@ -488,12 +514,28 @@ def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
     needs only the packed per-contig integers).
     Under shard_map, psum_axis names the data axis for the exact integer
     merges; everything after the first psum is replicated computation.
+    With model_axis (+ model_shards static), the bin axis is additionally
+    sharded: each model shard computes and holds only its
+    total_bins_pad/model_shards bin slice (records are replicated along
+    model); per-contig counters merge with a psum over the model axis
+    (contig ranges crossing shard boundaries sum exactly), after which
+    cutoffs/validity are replicated and pass B runs as usual.
     """
+    if model_axis is not None:
+        assert total_bins_pad % model_shards == 0
+        hist_bins = total_bins_pad // model_shards
+        bin_lo = (jax.lax.axis_index(model_axis) * hist_bins).astype(
+            jnp.int32)
+    else:
+        hist_bins = None
+        bin_lo = None
+
     a = _pass_a_local(read_id, rid, pos, lengths_u32, bin_offset,
                       half, bin_width, n_contigs=n_contigs,
                       total_bins_pad=total_bins_pad,
                       dedup_window=dedup_window, k_steps=k_steps,
-                      window=window, use_pallas=use_pallas)
+                      window=window, use_pallas=use_pallas,
+                      bin_lo=bin_lo, hist_bins=hist_bins)
     cov, uniq_cov, uniq_matches = a["cov"], a["uniq_cov"], a["uniq_matches"]
     if psum_axis is not None:
         cov = jax.lax.psum(cov, psum_axis)
@@ -502,8 +544,20 @@ def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
 
     # per-contig counters from the MERGED histograms (occupancy does not
     # commute with summation); sums + nonzero counts share one pass
-    rc, nzc = _contig_sums_nz(cov, bin_offset, bin_ends)
-    urc, nzu = _contig_sums_nz(uniq_cov, bin_offset, bin_ends)
+    if model_axis is not None:
+        lo = bin_lo
+        hi = bin_lo + hist_bins
+        starts_l = jnp.clip(bin_offset, lo, hi) - lo
+        ends_l = jnp.clip(bin_ends, lo, hi) - lo
+        rc, nzc = _contig_sums_nz(cov, starts_l, ends_l)
+        urc, nzu = _contig_sums_nz(uniq_cov, starts_l, ends_l)
+        rc = jax.lax.psum(rc, model_axis)
+        nzc = jax.lax.psum(nzc, model_axis)
+        urc = jax.lax.psum(urc, model_axis)
+        nzu = jax.lax.psum(nzu, model_axis)
+    else:
+        rc, nzc = _contig_sums_nz(cov, bin_offset, bin_ends)
+        urc, nzu = _contig_sums_nz(uniq_cov, bin_offset, bin_ends)
 
     # device cutoffs + validity mask (slimm.hpp:328-343, 351-361, 672-688)
     nbins_f = (bin_ends - bin_offset).astype(jnp.float32)
@@ -520,14 +574,19 @@ def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                       lineage, n_contigs=n_contigs,
                       total_bins_pad=total_bins_pad, n_dense=n_dense,
                       k_steps=k_steps, window=window,
-                      use_pallas=use_pallas, emit_coverage=emit_coverage)
+                      use_pallas=use_pallas, emit_coverage=emit_coverage,
+                      bin_lo=bin_lo, hist_bins=hist_bins)
     taxon_counts = b["taxon_counts"]
     uniq_matches2 = b["uniq_matches2"]
     if emit_coverage:
         uniq_cov2 = b["uniq_cov2"]
         if psum_axis is not None:
             uniq_cov2 = jax.lax.psum(uniq_cov2, psum_axis)
-        u2, _ = _contig_sums_nz(uniq_cov2, bin_offset, bin_ends)
+        if model_axis is not None:
+            u2, _ = _contig_sums_nz(uniq_cov2, starts_l, ends_l)
+            u2 = jax.lax.psum(u2, model_axis)
+        else:
+            u2, _ = _contig_sums_nz(uniq_cov2, bin_offset, bin_ends)
     else:
         u2 = b["u2_counts"]
         if psum_axis is not None:

@@ -22,3 +22,20 @@ def make_mesh(num_shards: int | None = None, devices=None) -> Mesh:
     if n > len(devs):
         raise ValueError(f"requested {n} shards but only {len(devs)} devices")
     return Mesh(np.asarray(devs[:n]), ("data",))
+
+
+def make_mesh2(data_shards: int, model_shards: int, devices=None) -> Mesh:
+    """2-D mesh: `data` over reads x `model` over the global bin axis.
+
+    The model axis shards the coverage-state histograms (the reference's
+    per-contig bins vector, slimm.hpp:124 — SURVEY.md §2.4 row 2): each
+    model shard owns a contiguous bin range, so per-device bin memory and
+    histogram domain shrink by the model degree (full-RefSeq DBs exceed
+    both HBM and the MXU-histogram domain on one device).
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    n = data_shards * model_shards
+    if n > len(devs):
+        raise ValueError(f"requested {n} devices, have {len(devs)}")
+    return Mesh(np.asarray(devs[:n]).reshape(data_shards, model_shards),
+                ("data", "model"))

@@ -29,11 +29,32 @@ from .mesh import make_mesh
 
 
 class ShardedRunner:
-    """Drop-in `sharded_runner` for engine.profile_arrays."""
+    """Drop-in `sharded_runner` for engine.profile_arrays.
 
-    def __init__(self, mesh: Mesh | None = None, num_shards: int | None = None):
-        self.mesh = mesh if mesh is not None else make_mesh(num_shards)
-        self.n_shards = self.mesh.devices.size
+    model_shards > 1 adds the bin-axis ("model") dimension: reads are
+    data-parallel across `data` shards while the coverage-state histograms
+    are sharded over `model` (SURVEY.md §2.4 row 2) — per-device bin memory
+    and histogram domain shrink by the model degree.  All merges stay
+    integer collectives, so any (data, model) factorization is bit-equal
+    to a single device (tests/test_parallel.py).
+    """
+
+    def __init__(self, mesh: Mesh | None = None,
+                 num_shards: int | None = None, model_shards: int = 1):
+        if mesh is None:
+            if model_shards > 1:
+                import jax as _jax
+
+                from .mesh import make_mesh2
+                data = num_shards or len(_jax.devices()) // model_shards
+                mesh = make_mesh2(data, model_shards)
+            else:
+                mesh = make_mesh(num_shards)
+        self.mesh = mesh
+        shape = dict(zip(mesh.axis_names, mesh.devices.shape))
+        self.data_shards = shape["data"]
+        self.model_shards = shape.get("model", 1)
+        self.n_shards = self.data_shards   # read-routing degree
         self._jit_cache: dict = {}
 
     # -- host-side read routing ----------------------------------------------
@@ -71,7 +92,7 @@ class ShardedRunner:
         if fn is not None:
             return fn
         mesh = self.mesh
-
+        has_model = self.model_shards > 1
         use_pallas = self.mesh.devices.flat[0].platform != "cpu"
 
         def shard_fn(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
@@ -79,15 +100,18 @@ class ShardedRunner:
             out = _fused_core(read_id[0], rid[0], pos[0], lengths_u32,
                               bin_offset, bin_ends, half, bin_width,
                               lineage, q, psum_axis="data",
+                              model_axis="model" if has_model else None,
+                              model_shards=self.model_shards,
                               use_pallas=use_pallas, **kw)
             return (out["packed"], out["cov"], out["uniq_cov"],
                     out["uniq_cov2"], out["pair_lca"][None],
                     out["pair_rid"][None])
 
+        hist_spec = P("model") if has_model else P()
         mapped = jax.shard_map(
             shard_fn, mesh=mesh,
             in_specs=(P("data", None),) * 3 + (P(),) * 7,
-            out_specs=(P(),) * 4 + (P("data", None),) * 2)
+            out_specs=(P(),) + (hist_spec,) * 3 + (P("data", None),) * 2)
         fn = jax.jit(mapped)
         self._jit_cache[key] = fn
         return fn
@@ -96,6 +120,11 @@ class ShardedRunner:
 
     def fused(self, read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
               half, bin_width, lineage, q, **kw):
+        if self.model_shards > 1:
+            # every model shard owns an equal 1024-aligned bin slice
+            quantum = 1024 * self.model_shards
+            kw["total_bins_pad"] = -(-kw["total_bins_pad"] // quantum
+                                     ) * quantum
         read2d, rid2d, pos2d, n_s = self._route(read_id, rid, pos)
         fn = self._get_fused(n_s, **kw)
         packed, cov, uniq_cov, uniq_cov2, pair_lca, pair_rid = fn(

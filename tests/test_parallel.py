@@ -70,3 +70,46 @@ def test_multihost_runner_single_process(toy_dir):
     assert_states_equal(st_single, st_multi)
     assert shard_paths(["a", "b", "c"], 0, 2) == ["a", "c"]
     assert shard_paths(["a", "b", "c"], 1, 2) == ["b"]
+
+
+@pytest.mark.parametrize("data,model", [(1, 8), (2, 4), (4, 2), (8, 1)])
+def test_model_sharded_matches_oracle(toy_dir, data, model):
+    # bin-axis ("model") sharding (SURVEY.md §2.4 row 2): every (data,
+    # model) factorization of 8 devices is bit-equal to the oracle —
+    # coverage histograms live as per-shard bin slices, per-contig
+    # counters merge with an exact psum over the model axis
+    st_o, _ = run_both(toy_dir)
+    db = copy.deepcopy(build_toy_db(toy_dir))
+    runner = ShardedRunner(num_shards=data, model_shards=model)
+    st_s = profile_file(ProfileOptions(), db, toy_dir.sam_path,
+                        engine=EngineOptions(phase_log=False),
+                        sharded_runner=runner)
+    assert_states_equal(st_o, st_s)
+
+
+def test_model_sharded_per_device_memory_drops():
+    # the per-shard histogram slice is total_bins_pad / model_shards: the
+    # whole point of the model axis is that bin-state memory shrinks with
+    # the model degree (replicated histograms are what the reference's
+    # `references` vector would cost per device)
+    from slimm_tpu.engine.pipeline import _pass_a_local
+    import jax.numpy as jnp
+
+    total_bins_pad = 8 * 1024
+    kw = dict(n_contigs=4, total_bins_pad=total_bins_pad, dedup_window=0,
+              k_steps=2, window=1)
+    read_id = jnp.arange(16, dtype=jnp.int32)
+    rid = jnp.zeros(16, jnp.int32)
+    pos = jnp.zeros(16, jnp.int32)
+    lengths = jnp.full(4, 100, jnp.uint32)
+    offs = jnp.asarray([0, 2048, 4096, 6144], jnp.int32)
+
+    full = jax.eval_shape(
+        lambda: _pass_a_local(read_id, rid, pos, lengths, offs,
+                              jnp.int32(1), jnp.int32(1), **kw))
+    sliced = jax.eval_shape(
+        lambda: _pass_a_local(read_id, rid, pos, lengths, offs,
+                              jnp.int32(1), jnp.int32(1),
+                              bin_lo=jnp.int32(1024), hist_bins=1024, **kw))
+    assert full["cov"].shape == (total_bins_pad,)
+    assert sliced["cov"].shape == (1024,)  # 1/8th per model shard
