@@ -640,15 +640,11 @@ def unpack_stats(packed_np, n_contigs, n_dense):
         taxon_counts=s[6 * C + _N_SCALARS:6 * C + _N_SCALARS + n_dense])
 
 
-def seg_plan(read_id):
-    """Host-side plan for the segment reductions: (max_run, dedup_window,
-    k_steps, window) from the grouped read-id array."""
-    read_id = np.asarray(read_id)
-    if len(read_id):
-        bnd = np.flatnonzero(np.r_[True, read_id[1:] != read_id[:-1], True])
-        max_run = int(np.diff(bnd).max())
-    else:
-        max_run = 1
+def plan_from_max_run(max_run: int):
+    """(k_steps, window) for the segment reductions given the longest
+    equal-read run.  Kept separate from seg_plan so multi-host runs can
+    agree on ONE plan from the allgathered global max_run (the plan is a
+    static jit argument — every process must compile the same program)."""
     if max_run - 1 <= MAX_WINDOW:
         window = max(1, max_run - 1)
         k_steps = 2
@@ -656,6 +652,19 @@ def seg_plan(read_id):
         window = 0
         k_steps = max(2, int(np.ceil(np.log2(max(max_run, 2)))))
         k_steps = ((k_steps + 1) // 2) * 2   # bucket to even (recompiles)
+    return k_steps, window
+
+
+def seg_plan(read_id):
+    """Host-side plan for the segment reductions: (max_run, k_steps,
+    window) from the grouped read-id array."""
+    read_id = np.asarray(read_id)
+    if len(read_id):
+        bnd = np.flatnonzero(np.r_[True, read_id[1:] != read_id[:-1], True])
+        max_run = int(np.diff(bnd).max())
+    else:
+        max_run = 1
+    k_steps, window = plan_from_max_run(max_run)
     return max_run, k_steps, window
 
 
@@ -719,6 +728,17 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
         rid = np.asarray(rid)[order]
         pos = np.asarray(pos)[order]
     max_run, k_steps, window = seg_plan(read_id)
+
+    def sync(mr):
+        # multi-host: the plan is a static jit argument — agree on the
+        # global max run so every process compiles the same program
+        if sharded_runner is not None and hasattr(sharded_runner,
+                                                  "sync_max_run"):
+            mr = int(sharded_runner.sync_max_run(mr))
+        return mr
+
+    max_run = sync(max_run)
+    k_steps, window = plan_from_max_run(max_run)
     if deduped:
         dedup_window = 0
     elif max_run - 1 <= MAX_WINDOW:
@@ -733,6 +753,8 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
         rid = np.asarray(rid)[first]
         pos = np.asarray(pos)[first]
         max_run, k_steps, window = seg_plan(read_id)
+        max_run = sync(max_run)
+        k_steps, window = plan_from_max_run(max_run)
         dedup_window = 0
     n_pad = _bucket(len(read_id), engine.batch_pad)
 

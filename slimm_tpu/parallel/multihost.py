@@ -75,6 +75,17 @@ class MultiHostRunner:
         self.n_shards = mesh.devices.size
         self._jit_cache: dict = {}
 
+    def sync_max_run(self, max_run: int) -> int:
+        """Agree on the global longest equal-read run: the segment-reduction
+        plan derived from it is a static jit argument, and every process
+        must compile the same SPMD program."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            all_mr = multihost_utils.process_allgather(
+                np.asarray([max_run], np.int64))
+            return int(np.max(all_mr))
+        return max_run
+
     def _shard_counts(self, read_id):
         """Per-local-shard record counts for shard = read_id mod S (multi-hit
         reads cluster mod S, so actual counts can exceed an even split)."""
@@ -161,6 +172,16 @@ class MultiHostRunner:
             jnp.asarray(bin_offset), jnp.asarray(bin_ends),
             jnp.asarray(half), jnp.asarray(bin_width),
             jnp.asarray(lineage), jnp.asarray(q))
+        if jax.process_count() > 1:
+            # the pair arrays are data-sharded across processes — a global
+            # jax.Array spanning non-addressable devices cannot be fetched
+            # directly; allgather them to host numpy (replicated outputs
+            # are addressable everywhere and fetch as-is)
+            from jax.experimental import multihost_utils
+            pair_lca = multihost_utils.process_allgather(pair_lca,
+                                                         tiled=True)
+            pair_rid = multihost_utils.process_allgather(pair_rid,
+                                                         tiled=True)
         return dict(packed=packed, cov=cov, uniq_cov=uniq_cov,
                     uniq_cov2=uniq_cov2, pair_lca=pair_lca,
                     pair_rid=pair_rid)
