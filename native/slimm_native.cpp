@@ -502,6 +502,10 @@ struct Decoder {
   bool grouped = true;
   int32_t last_id = -1;
   std::vector<int32_t> cur;  // contigs kept for the current read run
+  // index (into the target arrays) of the current run's first target —
+  // targets before run_start belong to COMPLETED reads and are safe to
+  // ship as a streaming chunk (read-boundary cut)
+  size_t run_start = 0;
   int64_t sample_count = 0;
   int64_t sample_total = 0;
 
@@ -553,6 +557,7 @@ struct Decoder {
         last_id = id;
         cur.clear();
         cur.push_back(rid);
+        run_start = f->read_id.size();
         emit(f, id, rid, pos);
         return;
       }
@@ -604,6 +609,7 @@ struct SamParser {
       }
       return;
     }
+    ++data_lines;
     // fields: qname flag rname pos mapq cigar rnext pnext tlen seq qual
     const char* field[11];
     int nf = 0;
@@ -633,6 +639,8 @@ struct SamParser {
                      static_cast<int32_t>(pos1 - 1));
     }
   }
+
+  int64_t data_lines = 0;  // non-header lines seen (header-complete signal)
 
   void feed(StpuFile* f, const uint8_t* data, size_t n) {
     const char* p = reinterpret_cast<const char*>(data);
@@ -722,60 +730,89 @@ int32_t rd_i32(const uint8_t* p) {
   return v;
 }
 
-void parse_bam_stream(Stream& st, StpuFile* f) {
+// Resumable BAM record parser over a buffered Stream: header in init(),
+// records in parse_until() which stops once the target arrays reach
+// `target_cap` entries (streaming) or the source is exhausted.
+struct BamParser {
   Decoder dec;
-  const uint8_t* p = st.take(4, "magic");
-  if (memcmp(p, "BAM\1", 4) != 0) throw DecodeError("not a BAM stream");
-  int32_t l_text = rd_i32(st.take(4, "l_text"));
-  if (l_text < 0 || l_text > (1 << 30))
-    throw DecodeError("corrupt BAM header length " + std::to_string(l_text));
-  st.take(static_cast<size_t>(l_text), "header text");
-  int32_t n_ref = rd_i32(st.take(4, "n_ref"));
-  if (n_ref < 0 || n_ref > (1 << 28))
-    throw DecodeError("corrupt BAM n_ref " + std::to_string(n_ref));
-  for (int32_t i = 0; i < n_ref; ++i) {
-    int32_t l_name = rd_i32(st.take(4, "ref name length"));
-    if (l_name <= 0 || l_name > (1 << 20))
-      throw DecodeError("corrupt BAM reference name length at ref " +
-                        std::to_string(i));
-    p = st.take(static_cast<size_t>(l_name), "ref name");
-    f->ref_names.emplace_back(reinterpret_cast<const char*>(p), l_name - 1);
-    f->ref_lens.push_back(rd_i32(st.take(4, "ref length")));
-  }
+  int32_t n_ref = 0;
   int64_t rec_no = 0;
-  while (!st.at_end()) {
-    size_t rec_off = st.consumed;
-    int32_t block_size = rd_i32(st.take(4, "record block_size"));
-    if (block_size < 32 || block_size > (1 << 28))
-      throw DecodeError("corrupt BAM record size " +
-                        std::to_string(block_size) + " at record " +
-                        std::to_string(rec_no) + ", uncompressed offset " +
-                        std::to_string(rec_off));
-    p = st.take(static_cast<size_t>(block_size), "record body");
-    int32_t ref_id = rd_i32(p);
-    int32_t pos = rd_i32(p + 4);
-    uint8_t l_read_name = p[8];
-    uint16_t flag;
-    memcpy(&flag, p + 14, 2);
-    int32_t l_seq = rd_i32(p + 16);
-    if (l_read_name < 1 || 32 + static_cast<int64_t>(l_read_name) > block_size)
-      throw DecodeError("corrupt BAM read name length at record " +
-                        std::to_string(rec_no) + ", uncompressed offset " +
-                        std::to_string(rec_off));
-    if (ref_id < -1 || ref_id >= n_ref)
-      throw DecodeError("BAM refID " + std::to_string(ref_id) +
-                        " out of range at record " + std::to_string(rec_no));
-    const char* qname = reinterpret_cast<const char*>(p + 32);
-    dec.sample_len(l_seq);
-    if (!(flag & FLAG_UNMAPPED) && ref_id >= 0) {
-      dec.add_record(f, qname, l_read_name - 1, flag, ref_id, pos);
+
+  void init(Stream& st, StpuFile* f) {
+    const uint8_t* p = st.take(4, "magic");
+    if (memcmp(p, "BAM\1", 4) != 0) throw DecodeError("not a BAM stream");
+    int32_t l_text = rd_i32(st.take(4, "l_text"));
+    if (l_text < 0 || l_text > (1 << 30))
+      throw DecodeError("corrupt BAM header length " +
+                        std::to_string(l_text));
+    st.take(static_cast<size_t>(l_text), "header text");
+    n_ref = rd_i32(st.take(4, "n_ref"));
+    if (n_ref < 0 || n_ref > (1 << 28))
+      throw DecodeError("corrupt BAM n_ref " + std::to_string(n_ref));
+    for (int32_t i = 0; i < n_ref; ++i) {
+      int32_t l_name = rd_i32(st.take(4, "ref name length"));
+      if (l_name <= 0 || l_name > (1 << 20))
+        throw DecodeError("corrupt BAM reference name length at ref " +
+                          std::to_string(i));
+      p = st.take(static_cast<size_t>(l_name), "ref name");
+      f->ref_names.emplace_back(reinterpret_cast<const char*>(p),
+                                l_name - 1);
+      f->ref_lens.push_back(rd_i32(st.take(4, "ref length")));
     }
-    ++rec_no;
   }
-  f->n_reads = static_cast<int64_t>(dec.key_to_id.size());
-  f->grouped_input = dec.grouped;
-  if (dec.sample_count == 0) throw DecodeError("no records with sequences");
-  f->avg_read_len = dec.sample_total / dec.sample_count;
+
+  // returns true when the source is exhausted
+  bool parse_until(Stream& st, StpuFile* f, size_t target_cap) {
+    while (f->read_id.size() < target_cap) {
+      if (st.at_end()) return true;
+      size_t rec_off = st.consumed;
+      int32_t block_size = rd_i32(st.take(4, "record block_size"));
+      if (block_size < 32 || block_size > (1 << 28))
+        throw DecodeError("corrupt BAM record size " +
+                          std::to_string(block_size) + " at record " +
+                          std::to_string(rec_no) + ", uncompressed offset " +
+                          std::to_string(rec_off));
+      const uint8_t* p = st.take(static_cast<size_t>(block_size),
+                                 "record body");
+      int32_t ref_id = rd_i32(p);
+      int32_t pos = rd_i32(p + 4);
+      uint8_t l_read_name = p[8];
+      uint16_t flag;
+      memcpy(&flag, p + 14, 2);
+      int32_t l_seq = rd_i32(p + 16);
+      if (l_read_name < 1 ||
+          32 + static_cast<int64_t>(l_read_name) > block_size)
+        throw DecodeError("corrupt BAM read name length at record " +
+                          std::to_string(rec_no) + ", uncompressed offset " +
+                          std::to_string(rec_off));
+      if (ref_id < -1 || ref_id >= n_ref)
+        throw DecodeError("BAM refID " + std::to_string(ref_id) +
+                          " out of range at record " +
+                          std::to_string(rec_no));
+      const char* qname = reinterpret_cast<const char*>(p + 32);
+      dec.sample_len(l_seq);
+      if (!(flag & FLAG_UNMAPPED) && ref_id >= 0) {
+        dec.add_record(f, qname, l_read_name - 1, flag, ref_id, pos);
+      }
+      ++rec_no;
+    }
+    return false;
+  }
+
+  void finish(StpuFile* f) {
+    f->n_reads = static_cast<int64_t>(dec.key_to_id.size());
+    f->grouped_input = dec.grouped;
+    if (dec.sample_count == 0)
+      throw DecodeError("no records with sequences");
+    f->avg_read_len = dec.sample_total / dec.sample_count;
+  }
+};
+
+void parse_bam_stream(Stream& st, StpuFile* f) {
+  BamParser parser;
+  parser.init(st, f);
+  parser.parse_until(st, f, SIZE_MAX);
+  parser.finish(f);
 }
 
 void parse_sam_stream(ByteSource* src, StpuFile* f,
@@ -906,6 +943,162 @@ void stpu_fill(void* h, int32_t* read_id, int32_t* rid, int32_t* pos) {
 }
 
 void stpu_close(void* h) { delete static_cast<StpuFile*>(h); }
+
+// ---------------------------------------------------------------------------
+// chunk-streaming decode API
+// ---------------------------------------------------------------------------
+//
+// Emits dedup'd targets in READ-COMPLETE chunks (a chunk never splits a
+// read's targets), so the engine can run its per-read segment reductions
+// per chunk and overlap decode with device dispatch.  Requires
+// qname-grouped input (mapper output order) — stpu_stream_grouped() turns 0
+// the moment a read reappears non-consecutively, and the caller falls back
+// to the whole-file decode.  Shipped targets are compacted away, keeping
+// decoder memory flat regardless of file size.
+
+namespace {
+
+struct StpuStream {
+  std::unique_ptr<ByteSource> src;
+  StpuFile file;
+  std::unique_ptr<SamParser> sam;
+  std::unique_ptr<BamParser> bam;
+  std::unique_ptr<Stream> bam_st;   // buffered view (BAM only)
+  int64_t consumed = 0;             // targets already taken by the caller
+  bool eof = false;
+  std::string error;
+
+  Decoder& dec() { return sam ? sam->dec : bam->dec; }
+
+  // targets safe to hand out: everything before the current run
+  int64_t completed() {
+    if (eof) return static_cast<int64_t>(file.read_id.size()) - consumed;
+    if (!dec().grouped) return 0;  // caller must fall back
+    return static_cast<int64_t>(dec().run_start) - consumed;
+  }
+
+  // parse more input; for BAM stop once the target arrays reach
+  // cap_targets (SAM granularity is one decompressed source chunk)
+  void pull(size_t cap_targets) {
+    if (sam) {
+      std::vector<uint8_t> chunk;
+      if (!src->next(chunk)) {
+        sam->finish(&file);
+        file.warning = src->warning();
+        eof = true;
+        return;
+      }
+      sam->feed(&file, chunk.data(), chunk.size());
+    } else {
+      if (bam->parse_until(*bam_st, &file, cap_targets)) {
+        bam->finish(&file);
+        file.warning = src->warning();
+        eof = true;
+      }
+    }
+  }
+
+  void compact() {
+    if (consumed < (1 << 22)) return;
+    auto erase_front = [&](std::vector<int32_t>& v) {
+      v.erase(v.begin(), v.begin() + consumed);
+    };
+    erase_front(file.read_id);
+    erase_front(file.rid);
+    erase_front(file.pos);
+    dec().run_start -= static_cast<size_t>(consumed);
+    consumed = 0;
+  }
+};
+
+}  // namespace
+
+void* stpu_stream_open(const char* path) {
+  auto* s = new StpuStream();
+  try {
+    s->src = open_source(path);
+    std::vector<uint8_t> first;
+    bool have_first = s->src->next(first);
+    while (have_first && first.empty()) have_first = s->src->next(first);
+    if (have_first && first.size() >= 4 &&
+        memcmp(first.data(), "BAM\1", 4) == 0) {
+      s->bam = std::make_unique<BamParser>();
+      s->bam_st = std::make_unique<Stream>(s->src.get());
+      s->bam_st->buf = std::move(first);
+      s->bam->init(*s->bam_st, &s->file);  // header + refs complete
+    } else {
+      s->sam = std::make_unique<SamParser>();
+      if (have_first) s->sam->feed(&s->file, first.data(), first.size());
+      // pull until the header is provably complete (first data line) or EOF
+      while (!s->eof && s->sam->data_lines == 0) s->pull(1);
+    }
+  } catch (const std::exception& e) {
+    s->error = e.what();
+  }
+  return s;
+}
+
+const char* stpu_stream_error(void* h) {
+  return static_cast<StpuStream*>(h)->error.c_str();
+}
+
+// inner StpuFile: reuse stpu_n_refs/stpu_ref_name/stpu_ref_len/stpu_hits/
+// stpu_n_reads/stpu_warning/stpu_n_malformed accessors on this pointer
+// (do NOT stpu_close it)
+void* stpu_stream_file(void* h) { return &static_cast<StpuStream*>(h)->file; }
+
+int stpu_stream_grouped(void* h) {
+  auto* s = static_cast<StpuStream*>(h);
+  if (s->error.size()) return 0;
+  return s->dec().grouped ? 1 : 0;
+}
+
+int stpu_stream_eof(void* h) {
+  return static_cast<StpuStream*>(h)->eof ? 1 : 0;
+}
+
+// current average read length over the (<=100k) sampled records; final and
+// reference-identical once >=100k records with sequences were parsed
+int64_t stpu_stream_avg_len(void* h) {
+  auto* s = static_cast<StpuStream*>(h);
+  if (!s->sam && !s->bam) return 0;
+  auto& d = s->dec();
+  return d.sample_count ? d.sample_total / d.sample_count : 0;
+}
+
+// Parse until >= min_targets read-complete targets are available (or EOF);
+// returns the available count, or -1 on decode error.
+int64_t stpu_stream_next(void* h, int64_t min_targets) {
+  auto* s = static_cast<StpuStream*>(h);
+  if (!s->error.empty()) return -1;
+  try {
+    while (!s->eof && s->completed() < min_targets &&
+           s->dec().grouped) {
+      // slack past min so the run boundary usually lands inside; the cap
+      // always exceeds the current size (progress even on giant runs)
+      int64_t cap = s->consumed + min_targets;
+      int64_t have = static_cast<int64_t>(s->file.read_id.size());
+      s->pull(static_cast<size_t>(std::max(cap, have)) + 4096);
+    }
+  } catch (const std::exception& e) {
+    s->error = e.what();
+    return -1;
+  }
+  return s->completed();
+}
+
+// Copy out n targets (n <= last stpu_stream_next return) and release them.
+void stpu_stream_take(void* h, int64_t n, int32_t* read_id, int32_t* rid,
+                      int32_t* pos) {
+  auto* s = static_cast<StpuStream*>(h);
+  memcpy(read_id, s->file.read_id.data() + s->consumed, n * 4);
+  memcpy(rid, s->file.rid.data() + s->consumed, n * 4);
+  memcpy(pos, s->file.pos.data() + s->consumed, n * 4);
+  s->consumed += n;
+  s->compact();
+}
+
+void stpu_stream_close(void* h) { delete static_cast<StpuStream*>(h); }
 
 // Timed first-hit dedup of raw (read, contig) records — the host-side stage
 // of the TPU pipeline, exposed so benchmarks can charge its cost to the

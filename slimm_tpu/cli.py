@@ -62,6 +62,10 @@ def build_profile_parser(sub) -> argparse.ArgumentParser:
     # TPU execution knobs (no reference analogue; results are invariant)
     p.add_argument("--shards", type=int, default=None,
                    help="data-parallel device shards (default: all devices)")
+    p.add_argument("--stream", type=int, default=0, metavar="TARGETS",
+                   help="chunk-streaming decode+profile with this many "
+                        "alignment targets per device chunk (bounds device "
+                        "memory for huge files; 0 = whole-file dispatch)")
     p.add_argument("--model-shards", type=int, default=1,
                    help="shard the coverage-state bin axis over this many "
                         "devices (for databases whose bin tables exceed "
@@ -163,7 +167,8 @@ def cmd_profile(args) -> int:
     # largest device op at full-RefSeq bin counts)
     engine = EngineOptions(num_shards=args.shards, trace_dir=args.trace_dir,
                            fetch_coverage=args.raw_output
-                           or args.coverage_output)
+                           or args.coverage_output,
+                           stream_chunk=args.stream)
 
     stop_watch = Timer()
     paths = collect_bam_files(options.input_path, options.is_directory,
@@ -186,14 +191,20 @@ def cmd_profile(args) -> int:
     # costs as much as millions of records of compute
     batched_states = None
     if (not args.no_device and runner is None and len(paths) > 1
-            and args.trace_dir is None):
+            and args.trace_dir is None and not engine.stream_chunk):
+        import os as _os
+
         from .engine.pipeline import profile_files_batched
         batched_states = {}
         group = max(1, engine.files_per_dispatch)
-        for i in range(0, len(paths), group):
+        # group by file size, not path order: batched dispatch pads every
+        # file in a group to the group maximum, so one big file among
+        # small ones makes the whole group pay its padded cost
+        by_size = sorted(paths, key=lambda p: _os.path.getsize(p))
+        for i in range(0, len(by_size), group):
             per_group_options = copy.deepcopy(options)
             for path, st in profile_files_batched(
-                    per_group_options, db, paths[i:i + group],
+                    per_group_options, db, by_size[i:i + group],
                     engine=engine):
                 batched_states[path] = st
 
@@ -208,6 +219,10 @@ def cmd_profile(args) -> int:
             jax.profiler.start_trace(args.trace_dir)
         if batched_states is not None:
             state = batched_states[path]
+        elif not args.no_device and engine.stream_chunk:
+            from .engine.pipeline import profile_file_streaming
+            state = profile_file_streaming(per_file_options, db, path,
+                                           engine=engine)
         elif args.no_device:
             from .io import AlignmentFile
             af = AlignmentFile(path)

@@ -60,6 +60,11 @@ class EngineOptions:
     # Directory mode: files profiled per fused device dispatch (a jit'ed
     # lax.scan over the file axis; amortizes the per-dispatch round trip).
     files_per_dispatch: int = 8
+    # Chunk-streaming decode+profile: targets per device chunk (0 = off,
+    # whole-file single dispatch).  Bounds device memory for files whose
+    # record arrays exceed HBM and overlaps decode with dispatch; requires
+    # qname-grouped input (falls back to whole-file otherwise).
+    stream_chunk: int = 0
     # Emit a jax.profiler trace directory when set.
     trace_dir: str | None = None
     # Per-phase timing log to stderr, same shape as the reference.

@@ -883,6 +883,237 @@ def profile_file(options: ProfileOptions, db: SlimmDatabase, path: str,
 
 
 # ---------------------------------------------------------------------------
+# chunk-streaming execution (bounded device memory + decode/dispatch overlap)
+# ---------------------------------------------------------------------------
+#
+# For files whose record arrays exceed device memory (BASELINE.md's 1B-read
+# streamed config), the engine runs the SAME two-pass dataflow chunked:
+# the native stream decoder emits read-complete target chunks while a
+# background thread decodes ahead; pass A accumulates the coverage
+# histograms on device across chunk dispatches (async dispatch overlaps the
+# next chunk's decode); the cutoffs/validity mask are computed once from the
+# accumulated histograms; pass B re-walks the host-cached chunks (12 B per
+# target) against the mask.  Device memory is O(histograms + one chunk);
+# host memory is O(targets + name dictionary); raw file bytes never resident.
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2),
+         static_argnames=("n_contigs", "total_bins_pad", "k_steps",
+                          "window", "use_pallas"))
+def _pass_a_chunk_jit(cov, uniq_cov, um, read_id, rid, pos, lengths_u32,
+                      bin_offset, half, bin_width, *, n_contigs,
+                      total_bins_pad, k_steps, window, use_pallas):
+    a = _pass_a_local(read_id, rid, pos, lengths_u32, bin_offset, half,
+                      bin_width, n_contigs=n_contigs,
+                      total_bins_pad=total_bins_pad, dedup_window=0,
+                      k_steps=k_steps, window=window, use_pallas=use_pallas)
+    return cov + a["cov"], uniq_cov + a["uniq_cov"], um + a["uniq_matches"]
+
+
+@jax.jit
+def _cutoffs_jit(cov, uniq_cov, bin_offset, bin_ends, q):
+    rc, nzc = _contig_sums_nz(cov, bin_offset, bin_ends)
+    urc, nzu = _contig_sums_nz(uniq_cov, bin_offset, bin_ends)
+    nbins_f = (bin_ends - bin_offset).astype(jnp.float32)
+    covp = nzc.astype(jnp.float32) / nbins_f
+    ucovp = nzu.astype(jnp.float32) / nbins_f
+    sel = urc > 0
+    use_cut = q < jnp.float32(1.0)
+    cc_q, ucc_q = _quantile2_dev(covp, ucovp, sel, q)
+    cc = jnp.where(use_cut, cc_q, jnp.float32(0.0))
+    ucc = jnp.where(use_cut, ucc_q, jnp.float32(0.0))
+    valid = (rc > 0) & (covp >= cc) & (ucovp >= ucc)
+    return rc, urc, nzc, nzu, valid, cc, ucc
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2),
+         static_argnames=("n_contigs", "total_bins_pad", "n_dense",
+                          "k_steps", "window", "use_pallas",
+                          "emit_coverage"))
+def _pass_b_chunk_jit(u2_acc, taxon, um2, read_id, rid, pos, valid_mask,
+                      lineage, lengths_u32, bin_offset, half, bin_width, *,
+                      n_contigs, total_bins_pad, n_dense, k_steps, window,
+                      use_pallas, emit_coverage):
+    rid_c = jnp.clip(rid, 0, n_contigs - 1)
+    center = jnp.minimum(pos.astype(jnp.uint32) + half.astype(jnp.uint32),
+                         lengths_u32[rid_c])
+    t_gbin = bin_offset[rid_c] + (
+        center // bin_width.astype(jnp.uint32)).astype(jnp.int32)
+    nondup = read_id >= 0  # native stream decoder pre-dedups
+    b = _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
+                      n_contigs=n_contigs, total_bins_pad=total_bins_pad,
+                      n_dense=n_dense, k_steps=k_steps, window=window,
+                      use_pallas=use_pallas, emit_coverage=emit_coverage)
+    if emit_coverage:
+        u2_acc = u2_acc + b["uniq_cov2"]
+    else:
+        u2_acc = u2_acc + b["u2_counts"]
+    return (u2_acc, taxon + b["taxon_counts"], um2 + b["uniq_matches2"],
+            b["pair_lca"], b["pair_rid"])
+
+
+def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
+                           path: str, engine: EngineOptions | None = None,
+                           chunk_targets: int | None = None) -> ProfileState:
+    """Chunk-streaming profile of one (qname-grouped) SAM/BAM file.
+
+    Bit-identical to profile_file: the same dataflow, chunked.  Falls back
+    to the whole-file path when the native decoder is unavailable or the
+    input is not qname-grouped (coordinate-sorted BAMs)."""
+    import queue
+    import threading
+
+    engine = engine or EngineOptions()
+    chunk_targets = chunk_targets or engine.stream_chunk or (4 << 20)
+    from ..io import native
+    if not native.available():
+        return profile_file(options, db, path, engine=engine)
+    timer = PhaseTimer(enabled=engine.phase_log)
+
+    timer.start("Streaming alignment chunks ....................... ")
+    try:
+        sr = native.NativeStreamReader(path)
+    except ValueError:
+        return profile_file(options, db, path, engine=engine)
+
+    chunks: list = []
+    feed: queue.Queue = queue.Queue(maxsize=2)
+
+    def producer():
+        try:
+            while True:
+                c = sr.next_chunk(chunk_targets)
+                feed.put(("ok", c))
+                if c is None:
+                    return
+        except Exception as e:  # non-grouped input or decode error
+            feed.put(("err", e))
+
+    th = threading.Thread(target=producer, daemon=True)
+    th.start()
+
+    def next_chunk():
+        kind, val = feed.get()
+        if kind == "err":
+            raise val
+        return val
+
+    try:
+        first = next_chunk()
+    except ValueError as e:
+        if "not qname-grouped" in str(e):
+            th.join()
+            return profile_file(options, db, path, engine=engine)
+        raise
+
+    use_pallas = jax.devices()[0].platform != "cpu"
+    st = ProfileState(options=options, ac__taxid=db.ac__taxid,
+                      taxid__name=db.taxid__name)
+    avg = sr.avg_read_length
+    st.avg_read_length = avg
+    if options.bin_width == 0:
+        options.bin_width = avg
+    st.init_contigs(sr.contig_names, sr.contig_lengths, options.bin_width)
+    dense = tensorize(db, sr.contig_names)
+    n_contigs = len(st.accessions)
+    total_bins = int(st.nbins.sum())
+    total_bins_pad = -(-total_bins // 1024) * 1024
+    lengths_u32 = jnp.asarray(st.lengths.astype(np.uint32))
+    bin_offset = jnp.asarray(st.bin_offset.astype(np.int32))
+    bin_ends = jnp.asarray((st.bin_offset + st.nbins).astype(np.int32))
+    half = np.int32(avg // 2)
+    bw = np.int32(options.bin_width)
+    q = np.float32(options.cov_cut_off)
+    lineage = jnp.asarray(dense.lineage)
+
+    def pad_chunk(c):
+        read_id, rid, pos = c
+        n_pad = _bucket(len(read_id), engine.batch_pad)
+        out = []
+        for a, fill in ((read_id, -1), (rid, 0), (pos, 0)):
+            p = np.full(n_pad, fill, np.int32)
+            p[:len(a)] = a
+            out.append(p)
+        _, k_steps, window = seg_plan(read_id)
+        return out[0], out[1], out[2], k_steps, window
+
+    # ---- pass A: accumulate coverage across chunk dispatches ----
+    cov = jnp.zeros(total_bins_pad, jnp.int32)
+    uniq_cov = jnp.zeros(total_bins_pad, jnp.int32)
+    um = jnp.int32(0)
+    c = first
+    while c is not None:
+        r, i, p, k_steps, window = pad_chunk(c)
+        chunks.append((r, i, p, k_steps, window))
+        cov, uniq_cov, um = _pass_a_chunk_jit(
+            cov, uniq_cov, um, jnp.asarray(r), jnp.asarray(i),
+            jnp.asarray(p), lengths_u32, bin_offset, half, bw,
+            n_contigs=n_contigs, total_bins_pad=total_bins_pad,
+            k_steps=k_steps, window=window, use_pallas=use_pallas)
+        c = next_chunk()   # decode of chunk k+1 overlapped the dispatch
+    th.join()
+    n_reads, hits_count, _ = sr.totals()
+    warn = sr.warning()
+    if warn:
+        print(f"[WARNING] {path}: {warn}", file=sys.stderr)
+    st.hits_count = hits_count
+    st.matches_count = n_reads
+    timer.lap()
+    if hits_count == 0:
+        print("[WARNING] No mapped reads found in BAM file!", file=sys.stderr)
+        return st
+
+    timer.start("Analysing alignments, reads and references ....... ")
+    rc, urc, nzc, nzu, valid, cc, ucc = _cutoffs_jit(cov, uniq_cov,
+                                                     bin_offset, bin_ends, q)
+
+    # ---- pass B over the host-cached chunks ----
+    emit = engine.fetch_coverage
+    u2_acc = jnp.zeros(total_bins_pad if emit else n_contigs, jnp.int32)
+    taxon = jnp.zeros(dense.n_dense, jnp.int32)
+    um2 = jnp.int32(0)
+    pair_parts = []
+    for r, i, p, k_steps, window in chunks:
+        u2_acc, taxon, um2, pl, pr = _pass_b_chunk_jit(
+            u2_acc, taxon, um2, jnp.asarray(r), jnp.asarray(i),
+            jnp.asarray(p), valid, lineage, lengths_u32, bin_offset, half,
+            bw, n_contigs=n_contigs, total_bins_pad=total_bins_pad,
+            n_dense=dense.n_dense, k_steps=k_steps, window=window,
+            use_pallas=use_pallas, emit_coverage=emit)
+        pair_parts.append((pl, pr))
+    timer.lap()
+
+    # ---- host finalize via the shared packed layout ----
+    rc_n, urc_n, nzc_n, nzu_n = (np.asarray(rc), np.asarray(urc),
+                                 np.asarray(nzc), np.asarray(nzu))
+    if emit:
+        u2_row = _boundary_sums(u2_acc, bin_offset, bin_ends)
+        u2_n = np.asarray(u2_row)
+    else:
+        u2_n = np.asarray(u2_acc)
+    scalars = np.zeros(_N_SCALARS, np.int32)
+    scalars[0] = int(np.asarray(um))
+    scalars[1] = int(np.asarray(um2))
+    scalars[2] = np.float32(np.asarray(cc)).view(np.int32)
+    scalars[3] = np.float32(np.asarray(ucc)).view(np.int32)
+    packed = np.concatenate([
+        rc_n, urc_n, nzc_n, nzu_n, u2_n,
+        np.asarray(valid).astype(np.int32), scalars,
+        np.asarray(taxon)]).astype(np.int32)
+    pair_lca = np.concatenate([np.asarray(pl).ravel()
+                               for pl, _ in pair_parts])
+    pair_rid = np.concatenate([np.asarray(pr).ravel()
+                               for _, pr in pair_parts])
+    out = dict(packed=packed, pair_lca=pair_lca, pair_rid=pair_rid)
+    if emit:
+        out.update(cov=cov, uniq_cov=uniq_cov, uniq_cov2=u2_acc)
+    t2 = PhaseTimer(enabled=engine.phase_log)
+    t2.start("Filtering + LCA (fused above) ..................... ")
+    _finalize_state(st, out, dense, total_bins, engine, options, t2)
+    return st
+
+
+# ---------------------------------------------------------------------------
 # batched multi-file dispatch (directory mode)
 # ---------------------------------------------------------------------------
 #

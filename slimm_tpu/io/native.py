@@ -57,6 +57,24 @@ def load_library():
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ctypes.POINTER(ctypes.c_double),
     ]
+    lib.stpu_stream_open.restype = ctypes.c_void_p
+    lib.stpu_stream_open.argtypes = [ctypes.c_char_p]
+    lib.stpu_stream_error.restype = ctypes.c_char_p
+    lib.stpu_stream_error.argtypes = [ctypes.c_void_p]
+    lib.stpu_stream_file.restype = ctypes.c_void_p
+    lib.stpu_stream_file.argtypes = [ctypes.c_void_p]
+    for fn in ("stpu_stream_grouped", "stpu_stream_eof"):
+        getattr(lib, fn).restype = ctypes.c_int
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.stpu_stream_avg_len.restype = ctypes.c_int64
+    lib.stpu_stream_avg_len.argtypes = [ctypes.c_void_p]
+    lib.stpu_stream_next.restype = ctypes.c_int64
+    lib.stpu_stream_next.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.stpu_stream_take.restype = None
+    lib.stpu_stream_take.argtypes = [ctypes.c_void_p, ctypes.c_int64] + [
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")] * 3
+    lib.stpu_stream_close.restype = None
+    lib.stpu_stream_close.argtypes = [ctypes.c_void_p]
     lib.stpu_baseline_profile.restype = ctypes.c_double
     lib.stpu_baseline_profile.argtypes = [
         ctypes.c_int64,
@@ -124,6 +142,92 @@ class NativeAlignmentFile:
     def close(self):
         if self._h is not None:
             self._lib.stpu_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeStreamReader:
+    """Chunk-streaming decoder: dedup'd targets in READ-COMPLETE chunks.
+
+    Requires qname-grouped input (mapper output order); `grouped` turns
+    False if a read reappears non-consecutively — callers fall back to
+    NativeAlignmentFile.  Shipped targets are compacted away in C++, so
+    decoder memory stays flat for arbitrarily large files.
+    """
+
+    def __init__(self, path: str):
+        lib = load_library()
+        self._lib = lib
+        self.path = path
+        self._h = lib.stpu_stream_open(path.encode())
+        err = lib.stpu_stream_error(self._h).decode()
+        if err == "cannot open file":
+            lib.stpu_stream_close(self._h)
+            self._h = None
+            raise FileNotFoundError(f"Could not open {path}!")
+        if err:
+            lib.stpu_stream_close(self._h)
+            self._h = None
+            raise ValueError(f"{path}: {err}")
+        f = lib.stpu_stream_file(self._h)
+        self._f = f
+        n_refs = lib.stpu_n_refs(f)
+        self.contig_names = [lib.stpu_ref_name(f, i).decode()
+                             for i in range(n_refs)]
+        self.contig_lengths = np.asarray(
+            [lib.stpu_ref_len(f, i) for i in range(n_refs)], np.int64)
+
+    @property
+    def grouped(self) -> bool:
+        return bool(self._lib.stpu_stream_grouped(self._h))
+
+    @property
+    def eof(self) -> bool:
+        return bool(self._lib.stpu_stream_eof(self._h))
+
+    @property
+    def avg_read_length(self) -> int:
+        return int(self._lib.stpu_stream_avg_len(self._h))
+
+    def totals(self):
+        """(n_reads, hits_count, malformed) — final once eof."""
+        f = self._f
+        return (int(self._lib.stpu_n_reads(f)), int(self._lib.stpu_hits(f)),
+                int(self._lib.stpu_n_malformed(f)))
+
+    def warning(self) -> str:
+        return self._lib.stpu_warning(self._f).decode()
+
+    def next_chunk(self, min_targets: int):
+        """(read_id, rid, pos) int32 arrays of >= min_targets targets cut at
+        a read boundary, or None at EOF.  Raises on decode errors and on
+        non-grouped input."""
+        n = self._lib.stpu_stream_next(self._h, min_targets)
+        if n < 0:
+            raise ValueError(
+                f"{self.path}: "
+                f"{self._lib.stpu_stream_error(self._h).decode()}")
+        if not self.grouped:
+            raise ValueError(
+                f"{self.path}: input is not qname-grouped; streaming "
+                "decode needs mapper output order (use the whole-file "
+                "decoder)")
+        if n == 0 and self.eof:
+            return None
+        read_id = np.empty(n, np.int32)
+        rid = np.empty(n, np.int32)
+        pos = np.empty(n, np.int32)
+        self._lib.stpu_stream_take(self._h, n, read_id, rid, pos)
+        return read_id, rid, pos
+
+    def close(self):
+        if self._h is not None:
+            self._lib.stpu_stream_close(self._h)
             self._h = None
 
     def __del__(self):
