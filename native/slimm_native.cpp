@@ -1128,6 +1128,130 @@ int64_t stpu_dedup_targets(int64_t n_records, const int32_t* read_id,
 }
 
 // ---------------------------------------------------------------------------
+// .sldb cereal-binary roundtrip (independent implementation cross-check)
+// ---------------------------------------------------------------------------
+//
+// The reference persists `slimm_database` with cereal's BinaryOutputArchive
+// (misc.hpp:77-100, 178-195).  Real cereal cannot be vendored here (the
+// reference pins it as an empty submodule and this environment is offline),
+// so this is an INDEPENDENT C++ implementation of the cereal 1.x binary
+// layout for the exact reference types, derived from the cereal spec:
+//   unordered_map      -> size_type(uint64 LE) count, then (key, value)*
+//                         (types/concepts/pair_associative_container.hpp)
+//   std::string        -> size_type + raw bytes        (types/string.hpp)
+//   vector<arithmetic> -> size_type + raw data         (types/vector.hpp)
+//   tuple<enum,string> -> elements in order 0..N-1     (types/tuple.hpp);
+//                         enums as their underlying int (types/common.hpp)
+// stpu_sldb_roundtrip parses an .sldb with strict bounds checks and
+// re-serializes it preserving entry order; byte-equality against the
+// Python writer (slimm_tpu/database.py) cross-validates both
+// implementations (tests/test_database.py).
+
+namespace {
+
+struct SldbCursor {
+  const uint8_t* p;
+  size_t n;
+  size_t off = 0;
+
+  uint64_t u64(const char* what) {
+    if (off + 8 > n) throw DecodeError(std::string("sldb: truncated ") + what);
+    uint64_t v;
+    memcpy(&v, p + off, 8);
+    off += 8;
+    return v;
+  }
+  uint32_t u32(const char* what) {
+    if (off + 4 > n) throw DecodeError(std::string("sldb: truncated ") + what);
+    uint32_t v;
+    memcpy(&v, p + off, 4);
+    off += 4;
+    return v;
+  }
+  const uint8_t* bytes(size_t k, const char* what) {
+    if (off + k > n) throw DecodeError(std::string("sldb: truncated ") + what);
+    const uint8_t* q = p + off;
+    off += k;
+    return q;
+  }
+};
+
+}  // namespace
+
+int stpu_sldb_roundtrip(const char* in_path, const char* out_path,
+                        char* errbuf, int errlen) {
+  auto fail = [&](const std::string& msg) {
+    snprintf(errbuf, errlen, "%s", msg.c_str());
+    return 1;
+  };
+  std::vector<uint8_t> data;
+  {
+    FILE* f = std::fopen(in_path, "rb");
+    if (!f) return fail("cannot open input");
+    std::fseek(f, 0, SEEK_END);
+    long sz = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
+    data.resize(static_cast<size_t>(sz));
+    size_t got = sz ? std::fread(data.data(), 1, data.size(), f) : 0;
+    std::fclose(f);
+    if (got != data.size()) return fail("short read");
+  }
+  std::vector<uint8_t> out;
+  out.reserve(data.size());
+  auto put_u64 = [&](uint64_t v) {
+    out.insert(out.end(), reinterpret_cast<uint8_t*>(&v),
+               reinterpret_cast<uint8_t*>(&v) + 8);
+  };
+  try {
+    SldbCursor c{data.data(), data.size()};
+    // ac__taxid : unordered_map<string, vector<uint32>>
+    uint64_t n_acc = c.u64("ac__taxid count");
+    put_u64(n_acc);
+    for (uint64_t i = 0; i < n_acc; ++i) {
+      uint64_t sl = c.u64("accession length");
+      if (sl > (1u << 20)) throw DecodeError("sldb: implausible accession");
+      const uint8_t* s = c.bytes(sl, "accession bytes");
+      put_u64(sl);
+      out.insert(out.end(), s, s + sl);
+      uint64_t vl = c.u64("lineage length");
+      if (vl != LINEAGE_LENGTH)
+        throw DecodeError("sldb: lineage length " + std::to_string(vl) +
+                          " != 8");
+      const uint8_t* v = c.bytes(vl * 4, "lineage data");
+      put_u64(vl);
+      out.insert(out.end(), v, v + vl * 4);
+    }
+    // taxid__name : unordered_map<uint32, tuple<taxa_ranks, string>>
+    uint64_t n_names = c.u64("taxid__name count");
+    put_u64(n_names);
+    for (uint64_t i = 0; i < n_names; ++i) {
+      uint32_t tid = c.u32("taxid");
+      uint32_t rank = c.u32("rank enum");  // int32 underlying
+      uint64_t sl = c.u64("name length");
+      if (sl > (1u << 20)) throw DecodeError("sldb: implausible name");
+      const uint8_t* s = c.bytes(sl, "name bytes");
+      out.insert(out.end(), reinterpret_cast<uint8_t*>(&tid),
+                 reinterpret_cast<uint8_t*>(&tid) + 4);
+      out.insert(out.end(), reinterpret_cast<uint8_t*>(&rank),
+                 reinterpret_cast<uint8_t*>(&rank) + 4);
+      put_u64(sl);
+      out.insert(out.end(), s, s + sl);
+    }
+    if (c.off != data.size())
+      throw DecodeError("sldb: " + std::to_string(data.size() - c.off) +
+                        " trailing bytes");
+  } catch (const std::exception& e) {
+    return fail(e.what());
+  }
+  FILE* f = std::fopen(out_path, "wb");
+  if (!f) return fail("cannot open output");
+  size_t put = out.empty() ? 0 : std::fwrite(out.data(), 1, out.size(), f);
+  std::fclose(f);
+  if (put != out.size()) return fail("short write");
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // single-core baseline profiler (bench comparison target)
 // ---------------------------------------------------------------------------
 //

@@ -151,6 +151,20 @@ class NativeAlignmentFile:
             pass
 
 
+def sldb_roundtrip(in_path: str, out_path: str) -> None:
+    """Parse an .sldb with the independent C++ cereal-layout reader and
+    re-serialize it (order-preserving).  Raises on structural errors."""
+    lib = load_library()
+    lib.stpu_sldb_roundtrip.restype = ctypes.c_int
+    lib.stpu_sldb_roundtrip.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                        ctypes.c_char_p, ctypes.c_int]
+    err = ctypes.create_string_buffer(512)
+    rc = lib.stpu_sldb_roundtrip(in_path.encode(), out_path.encode(), err,
+                                 len(err))
+    if rc != 0:
+        raise ValueError(f"{in_path}: {err.value.decode()}")
+
+
 class NativeStreamReader:
     """Chunk-streaming decoder: dedup'd targets in READ-COMPLETE chunks.
 

@@ -101,3 +101,73 @@ def test_acc2taxid_header_line_parses_as_zero(tmp_path):
     from slimm_tpu.database import stream_acc2taxid_batches
     batches = list(stream_acc2taxid_batches(str(p), 10))
     assert batches == [{"accession": 0, "A1": 42}]
+
+
+def _native_or_skip():
+    import pytest
+
+    from slimm_tpu.io import native
+    if not native.available():
+        pytest.skip("native library not built")
+    return native
+
+
+def test_sldb_native_roundtrip_byte_identical(toy_dir, tmp_path):
+    # cross-validation of the cereal binary layout by a SECOND, independent
+    # implementation: the C++ reader/writer (native/slimm_native.cpp
+    # stpu_sldb_roundtrip, derived from the cereal 1.x spec) must parse the
+    # Python-written .sldb and reproduce it byte-for-byte
+    native = _native_or_skip()
+    db = build_toy_db(toy_dir)
+    p_in = str(tmp_path / "py.sldb")
+    p_out = str(tmp_path / "cpp.sldb")
+    db.save_sldb(p_in)
+    native.sldb_roundtrip(p_in, p_out)
+    assert open(p_in, "rb").read() == open(p_out, "rb").read()
+
+
+def test_sldb_golden_bytes(tmp_path):
+    # hand-derived golden fixture from the cereal 1.x binary spec
+    # (unordered_map: uint64 count + pairs; string: uint64 len + bytes;
+    # vector<uint32>: uint64 size + raw; tuple: elements in order; enum as
+    # underlying int32) — pins BOTH implementations to the documented format
+    native = _native_or_skip()
+    db = SlimmDatabase(ac__taxid={"A1": [7, 0, 0, 0, 0, 0, 0, 2]},
+                       taxid__name={7: (0, "x"), 2: (7, "Bacteria")})
+    p = str(tmp_path / "g.sldb")
+    db.save_sldb(p)
+    golden = (
+        "0100000000000000"              # ac__taxid count = 1
+        "0200000000000000" "4131"       # "A1"
+        "0800000000000000"              # lineage size = 8
+        "07000000" "00000000" "00000000" "00000000"
+        "00000000" "00000000" "00000000" "02000000"
+        "0200000000000000"              # taxid__name count = 2
+        "07000000" "00000000"           # taxid 7, rank 0 (strain)
+        "0100000000000000" "78"         # "x"
+        "02000000" "07000000"           # taxid 2, rank 7 (superkingdom)
+        "0800000000000000" "4261637465726961"  # "Bacteria"
+    )
+    assert open(p, "rb").read() == bytes.fromhex(golden)
+    out = str(tmp_path / "g2.sldb")
+    native.sldb_roundtrip(p, out)
+    assert open(out, "rb").read() == bytes.fromhex(golden)
+
+
+def test_sldb_native_rejects_corrupt(tmp_path):
+    import pytest
+
+    native = _native_or_skip()
+    db = SlimmDatabase(ac__taxid={"A1": [1] * 8},
+                       taxid__name={1: (0, "n")})
+    p = str(tmp_path / "c.sldb")
+    db.save_sldb(p)
+    raw = bytearray(open(p, "rb").read())
+    with pytest.raises(ValueError, match="truncated"):
+        trunc = str(tmp_path / "t.sldb")
+        open(trunc, "wb").write(bytes(raw[:-5]))
+        native.sldb_roundtrip(trunc, str(tmp_path / "t2.sldb"))
+    with pytest.raises(ValueError, match="trailing"):
+        extra = str(tmp_path / "e.sldb")
+        open(extra, "wb").write(bytes(raw) + b"zz")
+        native.sldb_roundtrip(extra, str(tmp_path / "e2.sldb"))
