@@ -344,6 +344,7 @@ struct StpuFile {
   int64_t avg_read_len = 0;
   int64_t malformed = 0;  // skipped malformed SAM lines
   bool grouped_input = false;  // decoder fast path held: arrays pre-grouped
+  int64_t max_targets = 0;     // longest per-read target run (grouped only)
   std::string error;
   std::string warning;
 };
@@ -550,6 +551,8 @@ struct Decoder {
         for (int32_t c : cur)
           if (c == rid) return;  // duplicate within the read: first wins
         cur.push_back(rid);
+        if (static_cast<int64_t>(cur.size()) > f->max_targets)
+          f->max_targets = static_cast<int64_t>(cur.size());
         emit(f, id, rid, pos);
         return;
       }
@@ -557,6 +560,7 @@ struct Decoder {
         last_id = id;
         cur.clear();
         cur.push_back(rid);
+        if (f->max_targets < 1) f->max_targets = 1;
         run_start = f->read_id.size();
         emit(f, id, rid, pos);
         return;
@@ -566,6 +570,7 @@ struct Decoder {
       // (duplicates dropped earlier kept their first instance, which is
       // in the arrays, so the rebuilt set is complete)
       grouped = false;
+      f->max_targets = 0;  // run tracking stops; callers re-measure
       seen = PairSet(f->read_id.size() * 2 + (1 << 16));
       for (size_t i = 0; i < f->read_id.size(); ++i)
         seen.insert(pack(f->read_id[i], f->rid[i]));
@@ -933,6 +938,12 @@ int64_t stpu_n_targets(void* h) {
 int64_t stpu_n_reads(void* h) { return static_cast<StpuFile*>(h)->n_reads; }
 int64_t stpu_avg_read_len(void* h) {
   return static_cast<StpuFile*>(h)->avg_read_len;
+}
+
+// longest per-read target run (0 = unknown: input was not qname-grouped)
+int64_t stpu_max_targets(void* h) {
+  auto* f = static_cast<StpuFile*>(h);
+  return f->grouped_input ? f->max_targets : 0;
 }
 
 void stpu_fill(void* h, int32_t* read_id, int32_t* rid, int32_t* pos) {

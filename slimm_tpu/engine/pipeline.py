@@ -74,6 +74,10 @@ from ..utils.timer import PhaseTimer
 # host dedup, which handles arbitrary duplicate spans).
 MAX_WINDOW = 4
 
+# Max (n_dense x n_contigs) domain for the compact children-pair presence
+# map (8 MB int8); larger DBs return record-sized pair arrays instead.
+PAIR_DOM_MAX = 8 * 1024 * 1024
+
 
 def _bucket(n: int, quantum: int = 8192) -> int:
     """Round up to a padding bucket (limits jit recompiles across files).
@@ -375,7 +379,7 @@ def _lineage_rows(lineage, ridx, n_contigs, n_dense):
 def _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
                   *, n_contigs, total_bins_pad, n_dense, k_steps, window,
                   use_pallas=False, emit_coverage=True, bin_lo=None,
-                  hist_bins=None):
+                  hist_bins=None, pair_mode="arrays"):
     """Filtered re-dedup + vectorized LCA (slimm.hpp:351-392, 516-557).
 
     emit_coverage=True: one fused bin-domain scatter covers both the
@@ -489,8 +493,18 @@ def _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
                                 end_mask, jnp.int32(-1),
                                 k_steps=k_steps, window=window)
     t_multi = tmask & (total > 1)
-    out["pair_lca"] = jnp.where(t_multi, lca_b, -1)
-    out["pair_rid"] = jnp.where(t_multi, rid, -1)
+    if pair_mode == "hist":
+        # compact presence map over (dense lca x contig): ONE small fetch
+        # instead of two record-sized arrays (the axon tunnel fetch runs at
+        # ~40 MB/s, so fetch bytes are the host-tail bottleneck); callers
+        # flatnonzero it into the children sets
+        dom = -(-(n_dense * n_contigs) // 1024) * 1024
+        pidx = jnp.clip(lca_b, 0, n_dense - 1) * n_contigs + rid_c
+        ph = _hist1(pidx, t_multi, dom, use_pallas)
+        out["pair_hist"] = (ph[:n_dense * n_contigs] > 0).astype(jnp.int8)
+    else:
+        out["pair_lca"] = jnp.where(t_multi, lca_b, -1)
+        out["pair_rid"] = jnp.where(t_multi, rid, -1)
     out["uniq_matches2"] = jnp.sum((end_mask & (cnt == 1)).astype(jnp.int32))
     return out
 
@@ -503,7 +517,7 @@ def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                 half, bin_width, lineage, q, *, n_contigs, total_bins_pad,
                 n_dense, dedup_window, k_steps, window, use_pallas=False,
                 psum_axis=None, emit_coverage=True, model_axis=None,
-                model_shards=1):
+                model_shards=1, pair_mode="arrays"):
     """The whole per-file profile in one traced computation.
 
     Returns dict with `packed` (int32[6*C + 8 + n_dense]: reads_count,
@@ -575,7 +589,8 @@ def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                       total_bins_pad=total_bins_pad, n_dense=n_dense,
                       k_steps=k_steps, window=window,
                       use_pallas=use_pallas, emit_coverage=emit_coverage,
-                      bin_lo=bin_lo, hist_bins=hist_bins)
+                      bin_lo=bin_lo, hist_bins=hist_bins,
+                      pair_mode=pair_mode)
     taxon_counts = b["taxon_counts"]
     uniq_matches2 = b["uniq_matches2"]
     if emit_coverage:
@@ -603,8 +618,12 @@ def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
     packed = jnp.concatenate([rc, urc, nzc, nzu, u2,
                               valid_mask.astype(jnp.int32), scalars,
                               taxon_counts])
-    out = dict(packed=packed, pair_lca=b["pair_lca"],
-               pair_rid=b["pair_rid"])
+    out = dict(packed=packed)
+    if pair_mode == "hist":
+        out["pair_hist"] = b["pair_hist"]
+    else:
+        out["pair_lca"] = b["pair_lca"]
+        out["pair_rid"] = b["pair_rid"]
     if emit_coverage:
         out.update(cov=cov, uniq_cov=uniq_cov, uniq_cov2=uniq_cov2)
     return out
@@ -612,17 +631,18 @@ def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
 
 @partial(jax.jit, static_argnames=("n_contigs", "total_bins_pad", "n_dense",
                                    "dedup_window", "k_steps", "window",
-                                   "use_pallas", "emit_coverage"))
+                                   "use_pallas", "emit_coverage",
+                                   "pair_mode"))
 def fused_profile(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                   half, bin_width, lineage, q, *, n_contigs, total_bins_pad,
                   n_dense, dedup_window, k_steps, window, use_pallas=False,
-                  emit_coverage=True):
+                  emit_coverage=True, pair_mode="arrays"):
     return _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                        half, bin_width, lineage, q, n_contigs=n_contigs,
                        total_bins_pad=total_bins_pad, n_dense=n_dense,
                        dedup_window=dedup_window, k_steps=k_steps,
                        window=window, use_pallas=use_pallas,
-                       emit_coverage=emit_coverage)
+                       emit_coverage=emit_coverage, pair_mode=pair_mode)
 
 
 def unpack_stats(packed_np, n_contigs, n_dense):
@@ -684,7 +704,8 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
                    read_id, rid, pos, n_reads: int, hits_count: int,
                    avg_read_length: int,
                    engine: EngineOptions | None = None,
-                   sharded_runner=None, deduped: bool = True) -> ProfileState:
+                   sharded_runner=None, deduped: bool = True,
+                   max_targets: int = 0) -> ProfileState:
     """Profile decoded record arrays (the device path).
 
     read_id/rid/pos: grouped by read id.  With deduped=True (native decoder
@@ -722,12 +743,18 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
     # device contract: records grouped by read id (ascending); decoders
     # guarantee this, but arbitrary callers may not
     read_id = np.asarray(read_id)
-    if len(read_id) and not np.all(read_id[:-1] <= read_id[1:]):
-        order = np.argsort(read_id, kind="stable")
-        read_id = read_id[order]
-        rid = np.asarray(rid)[order]
-        pos = np.asarray(pos)[order]
-    max_run, k_steps, window = seg_plan(read_id)
+    if max_targets > 0 and deduped:
+        # native grouped decode: run length known, ordering guaranteed —
+        # skip the O(N) host scans
+        max_run = max_targets
+        k_steps, window = plan_from_max_run(max_run)
+    else:
+        if len(read_id) and not np.all(read_id[:-1] <= read_id[1:]):
+            order = np.argsort(read_id, kind="stable")
+            read_id = read_id[order]
+            rid = np.asarray(rid)[order]
+            pos = np.asarray(pos)[order]
+        max_run, k_steps, window = seg_plan(read_id)
 
     def sync(mr):
         # multi-host: the plan is a static jit argument — agree on the
@@ -782,12 +809,17 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
                                    dense.lineage, q, **kw)
     else:
         use_pallas = jax.devices()[0].platform != "cpu"
+        # compact pair output when the (lca x contig) domain is small:
+        # one 1-byte-per-slot fetch replaces two record-sized fetches
+        pair_mode = ("hist" if dense.n_dense * n_contigs <= PAIR_DOM_MAX
+                     else "arrays")
         out = fused_profile(read_id_p, rid_p, pos_p,
                             jnp.asarray(lengths_u32),
                             jnp.asarray(bin_offset), jnp.asarray(bin_ends),
                             half, bw, jnp.asarray(dense.lineage), q,
                             use_pallas=use_pallas,
-                            emit_coverage=engine.fetch_coverage, **kw)
+                            emit_coverage=engine.fetch_coverage,
+                            pair_mode=pair_mode, **kw)
 
     _finalize_state(st, out, dense, total_bins, engine, options, timer)
     return st
@@ -842,11 +874,15 @@ def _finalize_state(st, out, dense, total_bins, engine, options, timer):
         tid = int(dense.dense_to_tid[d])
         st.taxon_id__read_count[tid] = (
             st.taxon_id__read_count.get(tid, 0) + int(counts[d]))
-    pair_lca = np.asarray(out["pair_lca"]).ravel()
-    pair_rid = np.asarray(out["pair_rid"]).ravel()
-    keep = pair_lca >= 0
-    pairs = np.unique(np.stack([pair_lca[keep], pair_rid[keep]], axis=1),
-                      axis=0)
+    if "pair_hist" in out:
+        nz = np.flatnonzero(np.asarray(out["pair_hist"]))
+        pairs = np.stack([nz // n_contigs, nz % n_contigs], axis=1)
+    else:
+        pair_lca = np.asarray(out["pair_lca"]).ravel()
+        pair_rid = np.asarray(out["pair_rid"]).ravel()
+        keep = pair_lca >= 0
+        pairs = np.unique(np.stack([pair_lca[keep], pair_rid[keep]], axis=1),
+                          axis=0)
     for d, r in pairs.tolist():
         tid = int(dense.dense_to_tid[d])
         st.taxon_id__children.setdefault(tid, set()).add(int(r))
@@ -879,7 +915,8 @@ def profile_file(options: ProfileOptions, db: SlimmDatabase, path: str,
         options, db, af.contig_names, af.contig_lengths,
         batch.read_id.astype(np.int32), batch.rid, batch.pos,
         batch.n_reads, batch.hits_count, batch.avg_read_length,
-        engine=engine, sharded_runner=sharded_runner)
+        engine=engine, sharded_runner=sharded_runner,
+        max_targets=batch.max_targets)
 
 
 # ---------------------------------------------------------------------------

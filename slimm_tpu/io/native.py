@@ -34,7 +34,7 @@ def load_library():
     lib.stpu_warning.restype = ctypes.c_char_p
     lib.stpu_warning.argtypes = [ctypes.c_void_p]
     for fn in ("stpu_n_refs", "stpu_hits", "stpu_n_targets", "stpu_n_reads",
-               "stpu_avg_read_len", "stpu_n_malformed"):
+               "stpu_avg_read_len", "stpu_n_malformed", "stpu_max_targets"):
         getattr(lib, fn).restype = ctypes.c_int64
         getattr(lib, fn).argtypes = [ctypes.c_void_p]
     lib.stpu_ref_name.restype = ctypes.c_char_p
@@ -137,7 +137,8 @@ class NativeAlignmentFile:
             read_id=read_id.astype(np.int64), rid=rid, pos=pos,
             n_reads=int(lib.stpu_n_reads(self._h)),
             hits_count=int(lib.stpu_hits(self._h)),
-            avg_read_length=int(lib.stpu_avg_read_len(self._h)))
+            avg_read_length=int(lib.stpu_avg_read_len(self._h)),
+            max_targets=int(lib.stpu_max_targets(self._h)))
 
     def close(self):
         if self._h is not None:

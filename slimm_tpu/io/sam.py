@@ -49,6 +49,9 @@ class RecordBatch:
     hits_count: int        # ALL mapped records (incl. dropped duplicates)
     avg_read_length: int   # two-pass sampling semantics (misc.hpp:509-522)
     read_keys: list | None = None  # optional (debug/tests)
+    # longest per-read target run when known (native grouped decode);
+    # 0 = unknown, the engine measures it from the arrays
+    max_targets: int = 0
 
 
 def _sniff(path: str) -> tuple[bool, bool]:
