@@ -455,10 +455,18 @@ struct StrMap {
            (m == 0 || memcmp(arena.data() + s + n, b, m) == 0);
   }
 
+  void prefetch(uint32_t h) const {
+    __builtin_prefetch(&slots[h & mask]);
+  }
+
   // find-or-insert of the concatenated key a ++ b
   int32_t intern(const char* a, size_t n, const char* b, size_t m) {
+    return intern_hashed(a, n, b, m, hash2(a, n, b, m));
+  }
+
+  int32_t intern_hashed(const char* a, size_t n, const char* b, size_t m,
+                        uint32_t h) {
     if ((meta.size() + 1) * 10 >= slots.size() * 7) grow();
-    uint32_t h = hash2(a, n, b, m);
     size_t i = h & mask;
     while (uint64_t s = slots[i]) {
       if (static_cast<uint32_t>(s >> 32) == h) {
@@ -518,15 +526,6 @@ struct Decoder {
     }
   }
 
-  int32_t intern(const char* qname, size_t qlen, uint16_t flag) {
-    // pair suffix ".1"/".2" (slimm.hpp:204-209), hashed in place
-    const char* suffix = "";
-    size_t sn = 0;
-    if (flag & FLAG_FIRST) { suffix = ".1"; sn = 2; }
-    else if (flag & FLAG_LAST) { suffix = ".2"; sn = 2; }
-    return key_to_id.intern(qname, qlen, suffix, sn);
-  }
-
   static uint64_t pack(int32_t id, int32_t rid) {
     return (static_cast<uint64_t>(static_cast<uint32_t>(id)) << 32) |
            static_cast<uint32_t>(rid);
@@ -538,13 +537,61 @@ struct Decoder {
     f->pos.push_back(pos);
   }
 
+  // -- prefetch batching --------------------------------------------------
+  // The interner probe is a random HBM/L3 miss per record; batching ~16
+  // records lets the hash be computed (and the slot line prefetched) while
+  // the bytes are still hot, hiding the miss latency behind parsing.
+  static constexpr int BATCH = 16;
+  struct Pending {
+    uint32_t qoff;
+    uint32_t qlen;
+    uint16_t flag;
+    int32_t rid;
+    int32_t pos;
+    uint32_t h;
+  };
+  Pending pend[BATCH];
+  int npend = 0;
+  std::vector<char> pbuf;  // copied qname bytes (chunk memory is transient)
+
+  void add_record(StpuFile* f, const char* qname, size_t qlen, uint16_t flag,
+                  int32_t rid, int32_t pos) {
+    const char* suffix = "";
+    size_t sn = 0;
+    if (flag & FLAG_FIRST) { suffix = ".1"; sn = 2; }
+    else if (flag & FLAG_LAST) { suffix = ".2"; sn = 2; }
+    uint32_t h = StrMap::hash2(qname, qlen, suffix, sn);
+    key_to_id.prefetch(h);
+    Pending& p = pend[npend++];
+    p.qoff = static_cast<uint32_t>(pbuf.size());
+    p.qlen = static_cast<uint32_t>(qlen);
+    p.flag = flag;
+    p.rid = rid;
+    p.pos = pos;
+    p.h = h;
+    pbuf.insert(pbuf.end(), qname, qname + qlen);
+    if (flag & FLAG_FIRST) pbuf.insert(pbuf.end(), {'.', '1'});
+    else if (flag & FLAG_LAST) pbuf.insert(pbuf.end(), {'.', '2'});
+    if (npend == BATCH) flush(f);
+  }
+
+  void flush(StpuFile* f) {
+    for (int k = 0; k < npend; ++k) {
+      const Pending& p = pend[k];
+      size_t klen = p.qlen + ((p.flag & (FLAG_FIRST | FLAG_LAST)) ? 2 : 0);
+      add_one(f, pbuf.data() + p.qoff, klen, p.h, p.rid, p.pos);
+    }
+    npend = 0;
+    pbuf.clear();
+  }
+
   // add a mapped record: intern the read and emit a target unless the
   // (read, contig) pair was already seen (first hit wins,
   // read_stat.hpp:116-135)
-  void add_record(StpuFile* f, const char* qname, size_t qlen, uint16_t flag,
-                  int32_t rid, int32_t pos) {
+  void add_one(StpuFile* f, const char* key, size_t klen, uint32_t h,
+               int32_t rid, int32_t pos) {
     size_t before = key_to_id.size();
-    int32_t id = intern(qname, qlen, flag);
+    int32_t id = key_to_id.intern_hashed(key, klen, nullptr, 0, h);
     ++f->hits;
     if (grouped) {
       if (id == last_id) {
@@ -670,6 +717,7 @@ struct SamParser {
       handle_line(f, p, nl);
       p = nl + 1;
     }
+    dec.flush(f);  // chunk boundary: expose progress to the stream API
   }
 
   void finish(StpuFile* f) {
@@ -677,6 +725,7 @@ struct SamParser {
       handle_line(f, carry.data(), carry.data() + carry.size());
       carry.clear();
     }
+    dec.flush(f);
     f->n_reads = static_cast<int64_t>(dec.key_to_id.size());
     f->grouped_input = dec.grouped;
     if (dec.sample_count == 0) throw DecodeError("no records with sequences");
@@ -769,7 +818,10 @@ struct BamParser {
   // returns true when the source is exhausted
   bool parse_until(Stream& st, StpuFile* f, size_t target_cap) {
     while (f->read_id.size() < target_cap) {
-      if (st.at_end()) return true;
+      if (st.at_end()) {
+        dec.flush(f);
+        return true;
+      }
       size_t rec_off = st.consumed;
       int32_t block_size = rd_i32(st.take(4, "record block_size"));
       if (block_size < 32 || block_size > (1 << 28))
@@ -801,6 +853,7 @@ struct BamParser {
       }
       ++rec_no;
     }
+    dec.flush(f);
     return false;
   }
 

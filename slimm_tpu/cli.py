@@ -343,11 +343,17 @@ def main(argv=None) -> int:
     build_build_parser(sub)
     build_collect_parser(sub)
     args = parser.parse_args(argv)
-    if args.command == "profile":
-        return cmd_profile(args)
-    if args.command == "build":
-        return cmd_build(args)
-    return cmd_collect(args)
+    try:
+        if args.command == "profile":
+            return cmd_profile(args)
+        if args.command == "build":
+            return cmd_build(args)
+        return cmd_collect(args)
+    except (ValueError, OSError, ZeroDivisionError) as e:
+        # decode/DB errors surface as a message + exit 1, mirroring SeqAn's
+        # global exception handler (reference src/CMakeLists.txt:150)
+        print(f"[ERROR] {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

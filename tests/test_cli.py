@@ -121,3 +121,25 @@ def test_profile_json_stats(built_db, toy_dir, tmp_path):
     assert r["hits_count"] > 0
     assert r["matches_count"] > 0
     assert 0.0 <= r["coverage_cut_off"] <= 1.0
+
+
+def test_profile_corrupt_input_exits_1(built_db, toy_dir, tmp_path, capsys):
+    # corrupt input -> "[ERROR] ..." + exit code 1, not a traceback
+    # (SeqAn's global exception handler surface, src/CMakeLists.txt:150)
+    from tests.toy import bgzf_compress, make_bam_body
+
+    data = bgzf_compress(make_bam_body(toy_dir.records))
+    bad = tmp_path / "bad.bam"
+    bad.write_bytes(data[:len(data) // 2])
+    from slimm_tpu.cli import main
+    rc = main(["profile", "-o", str(tmp_path / "o"), built_db, str(bad)])
+    assert rc == 1
+    assert "[ERROR]" in capsys.readouterr().err
+
+
+def test_profile_missing_db_exits_1(toy_dir, tmp_path, capsys):
+    from slimm_tpu.cli import main
+    rc = main(["profile", "-o", str(tmp_path / "o"),
+               str(tmp_path / "nope.sldb"), toy_dir.sam_path])
+    assert rc == 1
+    assert "[ERROR]" in capsys.readouterr().err
