@@ -620,7 +620,12 @@ def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                               taxon_counts])
     out = dict(packed=packed)
     if pair_mode == "hist":
-        out["pair_hist"] = b["pair_hist"]
+        ph = b["pair_hist"]
+        if psum_axis is not None:
+            # per-shard 0/1 presence; the psum stays exact in int8 below
+            # 127 data shards and any positive value marks the pair
+            ph = jax.lax.psum(ph, psum_axis)
+        out["pair_hist"] = ph
     else:
         out["pair_lca"] = b["pair_lca"]
         out["pair_rid"] = b["pair_rid"]
@@ -1165,11 +1170,13 @@ def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
 
 @partial(jax.jit, static_argnames=("n_contigs", "total_bins_pad", "n_dense",
                                    "dedup_window", "k_steps", "window",
-                                   "use_pallas", "emit_coverage"))
+                                   "use_pallas", "emit_coverage",
+                                   "pair_mode"))
 def fused_profile_batch(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                         half, bin_width, lineage, q, *, n_contigs,
                         total_bins_pad, n_dense, dedup_window, k_steps,
-                        window, use_pallas=False, emit_coverage=True):
+                        window, use_pallas=False, emit_coverage=True,
+                        pair_mode="arrays"):
     """read_id/rid/pos: (K, N); bin_offset/bin_ends: (K, C); half/bin_width:
     (K,).  Returns the fused outputs stacked over the leading file axis."""
 
@@ -1180,8 +1187,11 @@ def fused_profile_batch(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                           total_bins_pad=total_bins_pad, n_dense=n_dense,
                           dedup_window=dedup_window, k_steps=k_steps,
                           window=window, use_pallas=use_pallas,
-                          emit_coverage=emit_coverage)
-        ys = (out["packed"], out["pair_lca"], out["pair_rid"])
+                          emit_coverage=emit_coverage, pair_mode=pair_mode)
+        if pair_mode == "hist":
+            ys = (out["packed"], out["pair_hist"])
+        else:
+            ys = (out["packed"], out["pair_lca"], out["pair_rid"])
         if emit_coverage:
             ys = ys + (out["cov"], out["uniq_cov"], out["uniq_cov2"])
         return carry, ys
@@ -1189,9 +1199,14 @@ def fused_profile_batch(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
     _, ys = jax.lax.scan(body, jnp.int32(0),
                          (read_id, rid, pos, bin_offset, bin_ends,
                           half, bin_width))
-    out = dict(packed=ys[0], pair_lca=ys[1], pair_rid=ys[2])
+    if pair_mode == "hist":
+        out = dict(packed=ys[0], pair_hist=ys[1])
+        rest = ys[2:]
+    else:
+        out = dict(packed=ys[0], pair_lca=ys[1], pair_rid=ys[2])
+        rest = ys[3:]
     if emit_coverage:
-        out.update(cov=ys[3], uniq_cov=ys[4], uniq_cov2=ys[5])
+        out.update(cov=rest[0], uniq_cov=rest[1], uniq_cov2=rest[2])
     return out
 
 
@@ -1289,6 +1304,8 @@ def profile_files_batched(options: ProfileOptions, db: SlimmDatabase,
         bwidth[k] = opts_k.bin_width
 
     use_pallas = jax.devices()[0].platform != "cpu"
+    pair_mode = ("hist" if dense.n_dense * n_contigs <= PAIR_DOM_MAX
+                 else "arrays")
     out = fused_profile_batch(
         jnp.asarray(read_id), jnp.asarray(rid), jnp.asarray(pos),
         jnp.asarray(lengths.astype(np.uint32)), jnp.asarray(bin_offset),
@@ -1297,10 +1314,14 @@ def profile_files_batched(options: ProfileOptions, db: SlimmDatabase,
         n_contigs=n_contigs, total_bins_pad=total_bins_pad,
         n_dense=dense.n_dense, dedup_window=0, k_steps=k_steps,
         window=window, use_pallas=use_pallas,
-        emit_coverage=engine.fetch_coverage)
+        emit_coverage=engine.fetch_coverage, pair_mode=pair_mode)
     packed = np.asarray(out["packed"])          # one fetch for all files
-    pair_lca = np.asarray(out["pair_lca"])
-    pair_rid = np.asarray(out["pair_rid"])
+    if pair_mode == "hist":
+        pair_hist = np.asarray(out["pair_hist"])
+        pair_lca = pair_rid = None
+    else:
+        pair_lca = np.asarray(out["pair_lca"])
+        pair_rid = np.asarray(out["pair_rid"])
     cov = np.asarray(out["cov"]) if engine.fetch_coverage else None
     uniq_cov = np.asarray(out["uniq_cov"]) if engine.fetch_coverage else None
     uniq_cov2 = (np.asarray(out["uniq_cov2"]) if engine.fetch_coverage
@@ -1312,8 +1333,11 @@ def profile_files_batched(options: ProfileOptions, db: SlimmDatabase,
         print("[WARNING] No mapped reads found in BAM file!", file=sys.stderr)
     for k, (path, st, opts_k, b) in enumerate(preps):
         tb = int(st.nbins.sum())
-        out_k = dict(packed=packed[k], pair_lca=pair_lca[k],
-                     pair_rid=pair_rid[k])
+        if pair_mode == "hist":
+            out_k = dict(packed=packed[k], pair_hist=pair_hist[k])
+        else:
+            out_k = dict(packed=packed[k], pair_lca=pair_lca[k],
+                         pair_rid=pair_rid[k])
         if engine.fetch_coverage:
             out_k.update(cov=cov[k], uniq_cov=uniq_cov[k],
                          uniq_cov2=uniq_cov2[k])

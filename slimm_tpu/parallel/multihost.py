@@ -116,8 +116,15 @@ class MultiHostRunner:
             start += c
         return out_read, out_rid, out_pos
 
-    def _get_fused(self, n_s, **kw):
-        key = (n_s, tuple(sorted(kw.items())))
+    def _pair_mode(self, kw) -> str:
+        from ..engine.pipeline import PAIR_DOM_MAX
+        if (kw["n_dense"] * kw["n_contigs"] <= PAIR_DOM_MAX
+                and self.n_shards <= 127):
+            return "hist"
+        return "arrays"
+
+    def _get_fused(self, n_s, pair_mode, **kw):
+        key = (n_s, pair_mode, tuple(sorted(kw.items())))
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
@@ -129,15 +136,20 @@ class MultiHostRunner:
             out = _fused_core(read_id[0], rid[0], pos[0], lengths_u32,
                               bin_offset, bin_ends, half, bin_width,
                               lineage, q, psum_axis="data",
-                              use_pallas=use_pallas, **kw)
-            return (out["packed"], out["cov"], out["uniq_cov"],
-                    out["uniq_cov2"], out["pair_lca"][None],
-                    out["pair_rid"][None])
+                              use_pallas=use_pallas, pair_mode=pair_mode,
+                              **kw)
+            base = (out["packed"], out["cov"], out["uniq_cov"],
+                    out["uniq_cov2"])
+            if pair_mode == "hist":
+                return base + (out["pair_hist"],)
+            return base + (out["pair_lca"][None], out["pair_rid"][None])
 
+        pair_specs = ((P(),) if pair_mode == "hist"
+                      else (P("data", None),) * 2)
         mapped = jax.shard_map(
             shard_fn, mesh=mesh,
             in_specs=(P("data", None),) * 3 + (P(),) * 7,
-            out_specs=(P(),) * 4 + (P("data", None),) * 2)
+            out_specs=(P(),) * 4 + pair_specs)
         fn = jax.jit(mapped)
         self._jit_cache[key] = fn
         return fn
@@ -166,25 +178,28 @@ class MultiHostRunner:
         else:
             read_g, rid_g, pos_g = read2d, rid2d, pos2d
 
-        fn = self._get_fused(n_s, **kw)
-        packed, cov, uniq_cov, uniq_cov2, pair_lca, pair_rid = fn(
-            read_g, rid_g, pos_g, jnp.asarray(lengths_u32),
-            jnp.asarray(bin_offset), jnp.asarray(bin_ends),
-            jnp.asarray(half), jnp.asarray(bin_width),
-            jnp.asarray(lineage), jnp.asarray(q))
-        if jax.process_count() > 1:
-            # the pair arrays are data-sharded across processes — a global
-            # jax.Array spanning non-addressable devices cannot be fetched
-            # directly; allgather them to host numpy (replicated outputs
-            # are addressable everywhere and fetch as-is)
-            from jax.experimental import multihost_utils
-            pair_lca = multihost_utils.process_allgather(pair_lca,
-                                                         tiled=True)
-            pair_rid = multihost_utils.process_allgather(pair_rid,
-                                                         tiled=True)
-        return dict(packed=packed, cov=cov, uniq_cov=uniq_cov,
-                    uniq_cov2=uniq_cov2, pair_lca=pair_lca,
-                    pair_rid=pair_rid)
+        pair_mode = self._pair_mode(kw)
+        fn = self._get_fused(n_s, pair_mode, **kw)
+        outs = fn(read_g, rid_g, pos_g, jnp.asarray(lengths_u32),
+                  jnp.asarray(bin_offset), jnp.asarray(bin_ends),
+                  jnp.asarray(half), jnp.asarray(bin_width),
+                  jnp.asarray(lineage), jnp.asarray(q))
+        out = dict(packed=outs[0], cov=outs[1], uniq_cov=outs[2],
+                   uniq_cov2=outs[3])
+        if pair_mode == "hist":
+            out["pair_hist"] = outs[4]  # replicated: addressable everywhere
+        else:
+            pair_lca, pair_rid = outs[4], outs[5]
+            if jax.process_count() > 1:
+                # data-sharded global jax.Arrays span non-addressable
+                # devices and cannot be fetched directly; allgather to host
+                from jax.experimental import multihost_utils
+                pair_lca = multihost_utils.process_allgather(pair_lca,
+                                                             tiled=True)
+                pair_rid = multihost_utils.process_allgather(pair_rid,
+                                                             tiled=True)
+            out["pair_lca"], out["pair_rid"] = pair_lca, pair_rid
+        return out
 
 
 def main(argv=None):

@@ -86,8 +86,18 @@ class ShardedRunner:
 
     # -- jitted shard_map builder ----------------------------------------------
 
-    def _get_fused(self, n_s, **kw):
-        key = ("fused", n_s, tuple(sorted(kw.items())))
+    def _pair_mode(self, kw) -> str:
+        # compact presence-map pairs when the domain fits and the 0/1 int8
+        # psum cannot overflow; replicated output beats data-sharded
+        # record-sized arrays (which multi-host cannot even fetch directly)
+        from ..engine.pipeline import PAIR_DOM_MAX
+        if (kw["n_dense"] * kw["n_contigs"] <= PAIR_DOM_MAX
+                and self.data_shards <= 127):
+            return "hist"
+        return "arrays"
+
+    def _get_fused(self, n_s, pair_mode, **kw):
+        key = ("fused", n_s, pair_mode, tuple(sorted(kw.items())))
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
@@ -102,16 +112,21 @@ class ShardedRunner:
                               lineage, q, psum_axis="data",
                               model_axis="model" if has_model else None,
                               model_shards=self.model_shards,
-                              use_pallas=use_pallas, **kw)
-            return (out["packed"], out["cov"], out["uniq_cov"],
-                    out["uniq_cov2"], out["pair_lca"][None],
-                    out["pair_rid"][None])
+                              use_pallas=use_pallas, pair_mode=pair_mode,
+                              **kw)
+            base = (out["packed"], out["cov"], out["uniq_cov"],
+                    out["uniq_cov2"])
+            if pair_mode == "hist":
+                return base + (out["pair_hist"],)
+            return base + (out["pair_lca"][None], out["pair_rid"][None])
 
         hist_spec = P("model") if has_model else P()
+        pair_specs = ((P(),) if pair_mode == "hist"
+                      else (P("data", None),) * 2)
         mapped = jax.shard_map(
             shard_fn, mesh=mesh,
             in_specs=(P("data", None),) * 3 + (P(),) * 7,
-            out_specs=(P(),) + (hist_spec,) * 3 + (P("data", None),) * 2)
+            out_specs=(P(),) + (hist_spec,) * 3 + pair_specs)
         fn = jax.jit(mapped)
         self._jit_cache[key] = fn
         return fn
@@ -126,12 +141,16 @@ class ShardedRunner:
             kw["total_bins_pad"] = -(-kw["total_bins_pad"] // quantum
                                      ) * quantum
         read2d, rid2d, pos2d, n_s = self._route(read_id, rid, pos)
-        fn = self._get_fused(n_s, **kw)
-        packed, cov, uniq_cov, uniq_cov2, pair_lca, pair_rid = fn(
-            read2d, rid2d, pos2d, jnp.asarray(lengths_u32),
-            jnp.asarray(bin_offset), jnp.asarray(bin_ends),
-            jnp.asarray(half), jnp.asarray(bin_width),
-            jnp.asarray(lineage), jnp.asarray(q))
-        return dict(packed=packed, cov=cov, uniq_cov=uniq_cov,
-                    uniq_cov2=uniq_cov2, pair_lca=pair_lca,
-                    pair_rid=pair_rid)
+        pair_mode = self._pair_mode(kw)
+        fn = self._get_fused(n_s, pair_mode, **kw)
+        outs = fn(read2d, rid2d, pos2d, jnp.asarray(lengths_u32),
+                  jnp.asarray(bin_offset), jnp.asarray(bin_ends),
+                  jnp.asarray(half), jnp.asarray(bin_width),
+                  jnp.asarray(lineage), jnp.asarray(q))
+        out = dict(packed=outs[0], cov=outs[1], uniq_cov=outs[2],
+                   uniq_cov2=outs[3])
+        if pair_mode == "hist":
+            out["pair_hist"] = outs[4]
+        else:
+            out["pair_lca"], out["pair_rid"] = outs[4], outs[5]
+        return out

@@ -316,3 +316,17 @@ def test_engine_no_coverage_fetch_matches_oracle(toy_dir):
     assert st_o.taxon_id__children == st_e.taxon_id__children
     assert st_o.abundance_rows() == st_e.abundance_rows()
     assert st_e.cov is None and st_e.uniq_cov2 is None  # not fetched
+
+
+def test_pair_arrays_fallback_matches(toy_dir, monkeypatch):
+    # DBs whose (lca x contig) domain exceeds PAIR_DOM_MAX fall back to
+    # record-sized pair arrays — force that path and assert identity
+    import slimm_tpu.engine.pipeline as P
+
+    st_o, _ = run_both(toy_dir)
+    monkeypatch.setattr(P, "PAIR_DOM_MAX", 1)
+    db = build_toy_db(toy_dir)
+    st_e = profile_file(ProfileOptions(), copy.deepcopy(db),
+                        toy_dir.sam_path,
+                        engine=EngineOptions(phase_log=False))
+    assert_states_equal(st_o, st_e)
