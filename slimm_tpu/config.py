@@ -65,6 +65,10 @@ class EngineOptions:
     # record arrays exceed HBM and overlaps decode with dispatch; requires
     # qname-grouped input (falls back to whole-file otherwise).
     stream_chunk: int = 0
+    # Streaming: keep uploaded chunk arrays device-resident up to this many
+    # bytes so pass B skips the host->device re-transfer; chunks past the
+    # budget re-upload from host copies (device memory stays bounded).
+    stream_device_cache_bytes: int = 2 << 30
     # Emit a jax.profiler trace directory when set.
     trace_dir: str | None = None
     # Per-phase timing log to stderr, same shape as the reference.

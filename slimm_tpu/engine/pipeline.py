@@ -1080,16 +1080,26 @@ def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
         return out[0], out[1], out[2], k_steps, window
 
     # ---- pass A: accumulate coverage across chunk dispatches ----
+    # uploaded chunk arrays stay device-resident within a byte budget so
+    # pass B skips the host->device re-transfer (the dominant streaming
+    # cost); past the budget, pass B re-uploads from the host copies
+    budget = engine.stream_device_cache_bytes
     cov = jnp.zeros(total_bins_pad, jnp.int32)
     uniq_cov = jnp.zeros(total_bins_pad, jnp.int32)
     um = jnp.int32(0)
     c = first
     while c is not None:
         r, i, p, k_steps, window = pad_chunk(c)
-        chunks.append((r, i, p, k_steps, window))
+        d_r, d_i, d_p = jnp.asarray(r), jnp.asarray(i), jnp.asarray(p)
+        nbytes = 3 * 4 * len(r)
+        if budget >= nbytes:
+            budget -= nbytes
+            chunks.append(((d_r, d_i, d_p), k_steps, window))
+        else:
+            chunks.append(((r, i, p), k_steps, window))
         cov, uniq_cov, um = _pass_a_chunk_jit(
-            cov, uniq_cov, um, jnp.asarray(r), jnp.asarray(i),
-            jnp.asarray(p), lengths_u32, bin_offset, half, bw,
+            cov, uniq_cov, um, d_r, d_i, d_p,
+            lengths_u32, bin_offset, half, bw,
             n_contigs=n_contigs, total_bins_pad=total_bins_pad,
             k_steps=k_steps, window=window, use_pallas=use_pallas)
         c = next_chunk()   # decode of chunk k+1 overlapped the dispatch
@@ -1115,7 +1125,7 @@ def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
     taxon = jnp.zeros(dense.n_dense, jnp.int32)
     um2 = jnp.int32(0)
     pair_parts = []
-    for r, i, p, k_steps, window in chunks:
+    for (r, i, p), k_steps, window in chunks:
         u2_acc, taxon, um2, pl, pr = _pass_b_chunk_jit(
             u2_acc, taxon, um2, jnp.asarray(r), jnp.asarray(i),
             jnp.asarray(p), valid, lineage, lengths_u32, bin_offset, half,
