@@ -420,7 +420,8 @@ struct StrMap {
 
   size_t size() const { return meta.size(); }
 
-  static uint32_t hash2(const char* a, size_t n, const char* b, size_t m) {
+  static uint64_t hash2_64(const char* a, size_t n, const char* b,
+                           size_t m) {
     uint64_t h = 1469598103934665603ull;  // FNV-1a over a ++ b
     for (size_t i = 0; i < n; ++i) {
       h ^= static_cast<unsigned char>(a[i]);
@@ -430,7 +431,11 @@ struct StrMap {
       h ^= static_cast<unsigned char>(b[i]);
       h *= 1099511628211ull;
     }
-    return static_cast<uint32_t>(PairSet::mix(h));
+    return PairSet::mix(h);
+  }
+
+  static uint32_t hash2(const char* a, size_t n, const char* b, size_t m) {
+    return static_cast<uint32_t>(hash2_64(a, n, b, m));
   }
 
   void grow() {
@@ -500,8 +505,61 @@ struct StrMap {
   }
 };
 
+// 64-bit-hash -> dense read id map: the scale mode for billion-read inputs
+// where the full read-name arena (~40+ B/read) exceeds host RAM
+// (SURVEY.md §7 hard-part 4).  12 B/read; distinct names colliding on the
+// same 64-bit hash merge into one read (birthday bound: ~3% chance of a
+// single merged pair at 1e9 reads) — opt-in, trades bit-parity certainty
+// for memory.
+struct Hash64Map {
+  std::vector<uint64_t> keys;  // mixed hash, 0 = empty (0 remaps below)
+  std::vector<int32_t> ids;
+  size_t mask;
+  size_t count = 0;
+
+  Hash64Map() : keys(1 << 16, 0), ids(1 << 16, -1), mask((1 << 16) - 1) {}
+
+  size_t size() const { return count; }
+
+  void grow() {
+    size_t n = keys.size() * 4;
+    std::vector<uint64_t> nk(n, 0);
+    std::vector<int32_t> ni(n, -1);
+    size_t nm = n - 1;
+    for (size_t s = 0; s < keys.size(); ++s) {
+      if (!keys[s]) continue;
+      size_t i = keys[s] & nm;
+      while (nk[i]) i = (i + 1) & nm;
+      nk[i] = keys[s];
+      ni[i] = ids[s];
+    }
+    keys.swap(nk);
+    ids.swap(ni);
+    mask = nm;
+  }
+
+  void prefetch(uint64_t h) const {
+    __builtin_prefetch(&keys[(h ? h : 1) & mask]);
+  }
+
+  int32_t intern(uint64_t h) {
+    if (h == 0) h = 0x9E3779B97F4A7C15ull;  // reserve 0 as the empty slot
+    if ((count + 1) * 10 >= keys.size() * 7) grow();
+    size_t i = h & mask;
+    while (keys[i]) {
+      if (keys[i] == h) return ids[i];
+      i = (i + 1) & mask;
+    }
+    keys[i] = h;
+    ids[i] = static_cast<int32_t>(count++);
+    return ids[i];
+  }
+};
+
 struct Decoder {
   StrMap key_to_id;
+  bool hash_names = false;  // scale mode: 64-bit hash keys, no name arena
+  Hash64Map hkey_to_id;
   PairSet seen;  // (read, contig) first-hit dedup — fallback path only
   // Fast path for qname-grouped inputs (mapper output order): while every
   // reappearance of a read is consecutive, dedup is a linear scan of the
@@ -548,11 +606,15 @@ struct Decoder {
     uint16_t flag;
     int32_t rid;
     int32_t pos;
-    uint32_t h;
+    uint64_t h64;
   };
   Pending pend[BATCH];
   int npend = 0;
   std::vector<char> pbuf;  // copied qname bytes (chunk memory is transient)
+
+  size_t n_keys() const {
+    return hash_names ? hkey_to_id.size() : key_to_id.size();
+  }
 
   void add_record(StpuFile* f, const char* qname, size_t qlen, uint16_t flag,
                   int32_t rid, int32_t pos) {
@@ -560,18 +622,21 @@ struct Decoder {
     size_t sn = 0;
     if (flag & FLAG_FIRST) { suffix = ".1"; sn = 2; }
     else if (flag & FLAG_LAST) { suffix = ".2"; sn = 2; }
-    uint32_t h = StrMap::hash2(qname, qlen, suffix, sn);
-    key_to_id.prefetch(h);
+    uint64_t h64 = StrMap::hash2_64(qname, qlen, suffix, sn);
+    if (hash_names) hkey_to_id.prefetch(h64);
+    else key_to_id.prefetch(static_cast<uint32_t>(h64));
     Pending& p = pend[npend++];
     p.qoff = static_cast<uint32_t>(pbuf.size());
     p.qlen = static_cast<uint32_t>(qlen);
     p.flag = flag;
     p.rid = rid;
     p.pos = pos;
-    p.h = h;
-    pbuf.insert(pbuf.end(), qname, qname + qlen);
-    if (flag & FLAG_FIRST) pbuf.insert(pbuf.end(), {'.', '1'});
-    else if (flag & FLAG_LAST) pbuf.insert(pbuf.end(), {'.', '2'});
+    p.h64 = h64;
+    if (!hash_names) {  // the hash-key mode never stores name bytes
+      pbuf.insert(pbuf.end(), qname, qname + qlen);
+      if (flag & FLAG_FIRST) pbuf.insert(pbuf.end(), {'.', '1'});
+      else if (flag & FLAG_LAST) pbuf.insert(pbuf.end(), {'.', '2'});
+    }
     if (npend == BATCH) flush(f);
   }
 
@@ -579,7 +644,7 @@ struct Decoder {
     for (int k = 0; k < npend; ++k) {
       const Pending& p = pend[k];
       size_t klen = p.qlen + ((p.flag & (FLAG_FIRST | FLAG_LAST)) ? 2 : 0);
-      add_one(f, pbuf.data() + p.qoff, klen, p.h, p.rid, p.pos);
+      add_one(f, pbuf.data() + p.qoff, klen, p.h64, p.rid, p.pos);
     }
     npend = 0;
     pbuf.clear();
@@ -588,10 +653,13 @@ struct Decoder {
   // add a mapped record: intern the read and emit a target unless the
   // (read, contig) pair was already seen (first hit wins,
   // read_stat.hpp:116-135)
-  void add_one(StpuFile* f, const char* key, size_t klen, uint32_t h,
+  void add_one(StpuFile* f, const char* key, size_t klen, uint64_t h64,
                int32_t rid, int32_t pos) {
-    size_t before = key_to_id.size();
-    int32_t id = key_to_id.intern_hashed(key, klen, nullptr, 0, h);
+    size_t before = n_keys();
+    int32_t id = hash_names
+        ? hkey_to_id.intern(h64)
+        : key_to_id.intern_hashed(key, klen, nullptr, 0,
+                                  static_cast<uint32_t>(h64));
     ++f->hits;
     if (grouped) {
       if (id == last_id) {
@@ -603,7 +671,7 @@ struct Decoder {
         emit(f, id, rid, pos);
         return;
       }
-      if (key_to_id.size() > before) {  // brand-new read: new run
+      if (n_keys() > before) {  // brand-new read: new run
         last_id = id;
         cur.clear();
         cur.push_back(rid);
@@ -726,7 +794,7 @@ struct SamParser {
       carry.clear();
     }
     dec.flush(f);
-    f->n_reads = static_cast<int64_t>(dec.key_to_id.size());
+    f->n_reads = static_cast<int64_t>(dec.n_keys());
     f->grouped_input = dec.grouped;
     if (dec.sample_count == 0) throw DecodeError("no records with sequences");
     f->avg_read_len = dec.sample_total / dec.sample_count;
@@ -858,7 +926,7 @@ struct BamParser {
   }
 
   void finish(StpuFile* f) {
-    f->n_reads = static_cast<int64_t>(dec.key_to_id.size());
+    f->n_reads = static_cast<int64_t>(dec.n_keys());
     f->grouped_input = dec.grouped;
     if (dec.sample_count == 0)
       throw DecodeError("no records with sequences");
@@ -866,16 +934,19 @@ struct BamParser {
   }
 };
 
-void parse_bam_stream(Stream& st, StpuFile* f) {
+void parse_bam_stream(Stream& st, StpuFile* f, bool hash_names) {
   BamParser parser;
+  parser.dec.hash_names = hash_names;
   parser.init(st, f);
   parser.parse_until(st, f, SIZE_MAX);
   parser.finish(f);
 }
 
 void parse_sam_stream(ByteSource* src, StpuFile* f,
-                      std::vector<uint8_t>& first_chunk, bool have_first) {
+                      std::vector<uint8_t>& first_chunk, bool have_first,
+                      bool hash_names) {
   SamParser parser;
+  parser.dec.hash_names = hash_names;
   std::vector<uint8_t> chunk;
   if (have_first) parser.feed(f, first_chunk.data(), first_chunk.size());
   while (src->next(chunk)) parser.feed(f, chunk.data(), chunk.size());
@@ -934,8 +1005,11 @@ void group_targets(StpuFile* f) {
 
 extern "C" {
 
-void* stpu_open(const char* path) {
+// flags: bit 0 = hash read names (64-bit-hash keys, no name arena - the
+// billion-read scale mode; distinct colliding names merge)
+void* stpu_open2(const char* path, int flags) {
   auto* f = new StpuFile();
+  bool hash_names = (flags & 1) != 0;
   try {
     auto src = open_source(path);
     // sniff the decompressed head: "BAM\1" -> binary BAM, else SAM text
@@ -947,9 +1021,9 @@ void* stpu_open(const char* path) {
         memcmp(first.data(), "BAM\1", 4) == 0) {
       Stream st(src.get());
       st.buf = std::move(first);
-      parse_bam_stream(st, f);
+      parse_bam_stream(st, f, hash_names);
     } else {
-      parse_sam_stream(src.get(), f, first, have_first);
+      parse_sam_stream(src.get(), f, first, have_first, hash_names);
     }
     f->warning = src->warning();
     // grouped inputs come out of the decoder already in read-id order
@@ -959,6 +1033,8 @@ void* stpu_open(const char* path) {
   }
   return f;
 }
+
+void* stpu_open(const char* path) { return stpu_open2(path, 0); }
 
 const char* stpu_error(void* h) {
   return static_cast<StpuFile*>(h)->error.c_str();
@@ -1077,8 +1153,9 @@ struct StpuStream {
 
 }  // namespace
 
-void* stpu_stream_open(const char* path) {
+void* stpu_stream_open2(const char* path, int flags) {
   auto* s = new StpuStream();
+  bool hash_names = (flags & 1) != 0;
   try {
     s->src = open_source(path);
     std::vector<uint8_t> first;
@@ -1087,11 +1164,13 @@ void* stpu_stream_open(const char* path) {
     if (have_first && first.size() >= 4 &&
         memcmp(first.data(), "BAM\1", 4) == 0) {
       s->bam = std::make_unique<BamParser>();
+      s->bam->dec.hash_names = hash_names;
       s->bam_st = std::make_unique<Stream>(s->src.get());
       s->bam_st->buf = std::move(first);
       s->bam->init(*s->bam_st, &s->file);  // header + refs complete
     } else {
       s->sam = std::make_unique<SamParser>();
+      s->sam->dec.hash_names = hash_names;
       if (have_first) s->sam->feed(&s->file, first.data(), first.size());
       // pull until the header is provably complete (first data line) or EOF
       while (!s->eof && s->sam->data_lines == 0) s->pull(1);
@@ -1100,6 +1179,10 @@ void* stpu_stream_open(const char* path) {
     s->error = e.what();
   }
   return s;
+}
+
+void* stpu_stream_open(const char* path) {
+  return stpu_stream_open2(path, 0);
 }
 
 const char* stpu_stream_error(void* h) {

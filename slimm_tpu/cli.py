@@ -62,6 +62,11 @@ def build_profile_parser(sub) -> argparse.ArgumentParser:
     # TPU execution knobs (no reference analogue; results are invariant)
     p.add_argument("--shards", type=int, default=None,
                    help="data-parallel device shards (default: all devices)")
+    p.add_argument("--hash-read-names", action="store_true",
+                   help="intern read names as 64-bit hashes (billion-read "
+                        "scale mode: ~1/4 the dictionary memory; colliding "
+                        "names merge, ~3%% chance of one merged pair at "
+                        "1e9 reads)")
     p.add_argument("--stream", type=int, default=0, metavar="TARGETS",
                    help="chunk-streaming decode+profile with this many "
                         "alignment targets per device chunk (bounds device "
@@ -168,7 +173,8 @@ def cmd_profile(args) -> int:
     engine = EngineOptions(num_shards=args.shards, trace_dir=args.trace_dir,
                            fetch_coverage=args.raw_output
                            or args.coverage_output,
-                           stream_chunk=args.stream)
+                           stream_chunk=args.stream,
+                           hash_read_names=args.hash_read_names)
 
     stop_watch = Timer()
     paths = collect_bam_files(options.input_path, options.is_directory,

@@ -69,6 +69,11 @@ class EngineOptions:
     # bytes so pass B skips the host->device re-transfer; chunks past the
     # budget re-upload from host copies (device memory stays bounded).
     stream_device_cache_bytes: int = 2 << 30
+    # Billion-read scale mode: intern read keys as 64-bit hashes instead of
+    # storing the name arena (~12 B/read vs ~40+).  Distinct names that
+    # collide on the hash merge into one read (birthday bound ~3% chance of
+    # a single merged pair at 1e9 reads) — opt-in, off by default.
+    hash_read_names: bool = False
     # Emit a jax.profiler trace directory when set.
     trace_dir: str | None = None
     # Per-phase timing log to stderr, same shape as the reference.

@@ -904,7 +904,8 @@ def open_alignment_file(path: str, engine: EngineOptions | None = None):
     if engine.use_native:
         from ..io import native
         if native.available():
-            return native.NativeAlignmentFile(path)
+            return native.NativeAlignmentFile(
+                path, hash_names=engine.hash_read_names)
     from ..io import AlignmentFile
     return AlignmentFile(path)
 
@@ -1014,7 +1015,8 @@ def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
 
     timer.start("Streaming alignment chunks ....................... ")
     try:
-        sr = native.NativeStreamReader(path)
+        sr = native.NativeStreamReader(path,
+                                       hash_names=engine.hash_read_names)
     except ValueError:
         return profile_file(options, db, path, engine=engine)
 

@@ -29,6 +29,8 @@ def load_library():
     lib = ctypes.CDLL(_LIB_PATH)
     lib.stpu_open.restype = ctypes.c_void_p
     lib.stpu_open.argtypes = [ctypes.c_char_p]
+    lib.stpu_open2.restype = ctypes.c_void_p
+    lib.stpu_open2.argtypes = [ctypes.c_char_p, ctypes.c_int]
     lib.stpu_error.restype = ctypes.c_char_p
     lib.stpu_error.argtypes = [ctypes.c_void_p]
     lib.stpu_warning.restype = ctypes.c_char_p
@@ -59,6 +61,8 @@ def load_library():
     ]
     lib.stpu_stream_open.restype = ctypes.c_void_p
     lib.stpu_stream_open.argtypes = [ctypes.c_char_p]
+    lib.stpu_stream_open2.restype = ctypes.c_void_p
+    lib.stpu_stream_open2.argtypes = [ctypes.c_char_p, ctypes.c_int]
     lib.stpu_stream_error.restype = ctypes.c_char_p
     lib.stpu_stream_error.argtypes = [ctypes.c_void_p]
     lib.stpu_stream_file.restype = ctypes.c_void_p
@@ -94,13 +98,13 @@ def load_library():
 class NativeAlignmentFile:
     """Native decoder with the same contract as io.sam.AlignmentFile."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, hash_names: bool = False):
         import sys
 
         lib = load_library()
         self._lib = lib
         self.path = path
-        self._h = lib.stpu_open(path.encode())
+        self._h = lib.stpu_open2(path.encode(), 1 if hash_names else 0)
         err = lib.stpu_error(self._h).decode()
         if err == "cannot open file":
             lib.stpu_close(self._h)
@@ -175,11 +179,12 @@ class NativeStreamReader:
     decoder memory stays flat for arbitrarily large files.
     """
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, hash_names: bool = False):
         lib = load_library()
         self._lib = lib
         self.path = path
-        self._h = lib.stpu_stream_open(path.encode())
+        self._h = lib.stpu_stream_open2(path.encode(),
+                                        1 if hash_names else 0)
         err = lib.stpu_stream_error(self._h).decode()
         if err == "cannot open file":
             lib.stpu_stream_close(self._h)

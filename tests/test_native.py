@@ -115,3 +115,33 @@ def test_engine_uses_native_decoder(toy_dir):
     assert isinstance(af, native.NativeAlignmentFile)
     af2 = open_alignment_file(toy_dir.sam_path, EngineOptions(use_native=False))
     assert isinstance(af2, AlignmentFile)
+
+
+def test_hash_read_names_mode_matches(toy_dir):
+    # 64-bit-hash read keys (billion-read scale mode): identical decode on
+    # collision-free input, with no name arena kept
+    py = AlignmentFile(toy_dir.sam_path)
+    plain = native.NativeAlignmentFile(toy_dir.sam_path).load()
+    hashed = native.NativeAlignmentFile(toy_dir.sam_path,
+                                        hash_names=True).load()
+    assert_batches_equal(plain, hashed)
+    assert_batches_equal(py.load(), hashed)
+
+
+def test_hash_read_names_engine_parity(toy_dir):
+    import copy
+
+    from slimm_tpu.config import EngineOptions, ProfileOptions
+    from slimm_tpu.engine import profile_file
+    from tests.toy import build_toy_db
+
+    db = build_toy_db(toy_dir)
+    st_a = profile_file(ProfileOptions(), copy.deepcopy(db),
+                        toy_dir.sam_path,
+                        engine=EngineOptions(phase_log=False))
+    st_b = profile_file(ProfileOptions(), copy.deepcopy(db),
+                        toy_dir.sam_path,
+                        engine=EngineOptions(phase_log=False,
+                                             hash_read_names=True))
+    assert st_a.abundance_rows() == st_b.abundance_rows()
+    assert st_a.taxon_id__read_count == st_b.taxon_id__read_count
