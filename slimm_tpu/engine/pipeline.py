@@ -108,6 +108,23 @@ def _cumsum_1d(x):
     return (row + offs[:, None]).reshape(-1)
 
 
+def _unpack_read_groups(bnd_packed, n_pad, n_valid):
+    """Reconstruct the grouped read-id array from a bitpacked boundary mask.
+
+    The fused pipeline only ever uses read ids through equality compares
+    and `>= 0` validity (segment boundaries), never their absolute values,
+    so the host can ship 1 BIT per record (bit = "first record of its
+    read", numpy packbits little bit-order) instead of 4 bytes: the axon
+    host->device tunnel moves ~33 MB/s, so transfer bytes — not device
+    FLOPs — bound single-file latency.  Group ids are rebuilt on device as
+    cumsum(bits) - 1 and the padded tail (>= n_valid) is forced to -1 (the
+    decoder/pad contract in _pass_a_local)."""
+    bits = (bnd_packed[:, None] >> jnp.arange(8, dtype=jnp.uint8)[None, :]) & 1
+    gid = _cumsum_1d(bits.astype(jnp.int32).reshape(-1)) - 1
+    idx = jax.lax.iota(jnp.int32, n_pad)
+    return jnp.where(idx < n_valid, gid, -1)
+
+
 def _boundary_sums(values, starts, ends):
     """Per-contig sums over the flat bin axis: cs[ends] - cs[starts].
     Replaces segment_sum over a sorted contig_of_bin map (which compiles
@@ -650,6 +667,51 @@ def fused_profile(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                        emit_coverage=emit_coverage, pair_mode=pair_mode)
 
 
+@partial(jax.jit, static_argnames=("n_contigs", "total_bins_pad", "n_dense",
+                                   "dedup_window", "k_steps", "window",
+                                   "use_pallas", "emit_coverage",
+                                   "pair_mode"))
+def fused_profile_compact(bnd_packed, rid_small, pos, n_valid, lengths_u32,
+                          bin_offset, bin_ends, half, bin_width, lineage, q,
+                          *, n_contigs, total_bins_pad, n_dense, dedup_window,
+                          k_steps, window, use_pallas=False,
+                          emit_coverage=True, pair_mode="arrays"):
+    """fused_profile with a compact host->device record format: a bitpacked
+    read-boundary mask (1 bit/record) + int16 contig ids (int32 past 32767
+    contigs) + int32 positions — ~6.1 B/record instead of 12.  The tunnel
+    transfer is the single-file latency bottleneck (~33 MB/s H2D), so the
+    int32 record arrays are reconstructed on device (_unpack_read_groups)
+    where the rebuild is ~free next to the pipeline itself."""
+    n_pad = pos.shape[0]
+    read_id = _unpack_read_groups(bnd_packed, n_pad, n_valid)
+    return _fused_core(read_id, rid_small.astype(jnp.int32), pos,
+                       lengths_u32, bin_offset, bin_ends, half, bin_width,
+                       lineage, q, n_contigs=n_contigs,
+                       total_bins_pad=total_bins_pad, n_dense=n_dense,
+                       dedup_window=dedup_window, k_steps=k_steps,
+                       window=window, use_pallas=use_pallas,
+                       emit_coverage=emit_coverage, pair_mode=pair_mode)
+
+
+def pack_records_compact(read_id, rid, pos, n_pad, n_contigs):
+    """Host-side compact transfer encode: (bitpacked boundary uint8[n_pad/8],
+    rid int16|int32 [n_pad], pos int32[n_pad], n_valid).  read_id/rid/pos
+    are the grouped (ascending read id) record arrays; n_pad must be a
+    multiple of 2048 (_bucket guarantees this; _cumsum_1d needs 1024)."""
+    n = len(read_id)
+    bits = np.zeros(n_pad, np.uint8)
+    if n:
+        bits[0] = 1
+        np.not_equal(read_id[1:], read_id[:-1], out=bits[1:n].view(bool))
+    bnd = np.packbits(bits, bitorder="little")
+    rdt = np.int16 if n_contigs <= np.iinfo(np.int16).max else np.int32
+    rid_p = np.zeros(n_pad, rdt)
+    rid_p[:n] = rid
+    pos_p = np.zeros(n_pad, np.int32)
+    pos_p[:n] = pos
+    return bnd, rid_p, pos_p, np.int32(n)
+
+
 def unpack_stats(packed_np, n_contigs, n_dense):
     """Host-side view of the fused `packed` vector."""
     C = n_contigs
@@ -789,15 +851,6 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
         k_steps, window = plan_from_max_run(max_run)
         dedup_window = 0
     n_pad = _bucket(len(read_id), engine.batch_pad)
-
-    def pad(a, fill):
-        out = np.full(n_pad, fill, np.int32)
-        out[:len(a)] = a
-        return out
-
-    read_id_p = pad(read_id, -1)
-    rid_p = pad(rid, 0)
-    pos_p = pad(pos, 0)
     lengths_u32 = st.lengths.astype(np.uint32)
     bin_offset = st.bin_offset.astype(np.int32)
     bin_ends = (st.bin_offset + st.nbins).astype(np.int32)
@@ -809,7 +862,13 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
               n_dense=dense.n_dense, dedup_window=dedup_window,
               k_steps=k_steps, window=window)
     if sharded_runner is not None:
-        out = sharded_runner.fused(read_id_p, rid_p, pos_p, lengths_u32,
+        def pad(a, fill):
+            out = np.full(n_pad, fill, np.int32)
+            out[:len(a)] = a
+            return out
+
+        out = sharded_runner.fused(pad(read_id, -1), pad(rid, 0),
+                                   pad(pos, 0), lengths_u32,
                                    bin_offset, bin_ends, half, bw,
                                    dense.lineage, q, **kw)
     else:
@@ -818,13 +877,16 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
         # one 1-byte-per-slot fetch replaces two record-sized fetches
         pair_mode = ("hist" if dense.n_dense * n_contigs <= PAIR_DOM_MAX
                      else "arrays")
-        out = fused_profile(read_id_p, rid_p, pos_p,
-                            jnp.asarray(lengths_u32),
-                            jnp.asarray(bin_offset), jnp.asarray(bin_ends),
-                            half, bw, jnp.asarray(dense.lineage), q,
-                            use_pallas=use_pallas,
-                            emit_coverage=engine.fetch_coverage,
-                            pair_mode=pair_mode, **kw)
+        bnd, rid_p, pos_p, n_valid = pack_records_compact(
+            read_id, rid, pos, n_pad, n_contigs)
+        out = fused_profile_compact(bnd, rid_p, pos_p, n_valid,
+                                    jnp.asarray(lengths_u32),
+                                    jnp.asarray(bin_offset),
+                                    jnp.asarray(bin_ends),
+                                    half, bw, jnp.asarray(dense.lineage), q,
+                                    use_pallas=use_pallas,
+                                    emit_coverage=engine.fetch_coverage,
+                                    pair_mode=pair_mode, **kw)
 
     _finalize_state(st, out, dense, total_bins, engine, options, timer)
     return st
@@ -943,10 +1005,12 @@ def profile_file(options: ProfileOptions, db: SlimmDatabase, path: str,
 @partial(jax.jit, donate_argnums=(0, 1, 2),
          static_argnames=("n_contigs", "total_bins_pad", "k_steps",
                           "window", "use_pallas"))
-def _pass_a_chunk_jit(cov, uniq_cov, um, read_id, rid, pos, lengths_u32,
-                      bin_offset, half, bin_width, *, n_contigs,
+def _pass_a_chunk_jit(cov, uniq_cov, um, bnd, rid_small, pos, n_valid,
+                      lengths_u32, bin_offset, half, bin_width, *, n_contigs,
                       total_bins_pad, k_steps, window, use_pallas):
-    a = _pass_a_local(read_id, rid, pos, lengths_u32, bin_offset, half,
+    read_id = _unpack_read_groups(bnd, pos.shape[0], n_valid)
+    a = _pass_a_local(read_id, rid_small.astype(jnp.int32), pos,
+                      lengths_u32, bin_offset, half,
                       bin_width, n_contigs=n_contigs,
                       total_bins_pad=total_bins_pad, dedup_window=0,
                       k_steps=k_steps, window=window, use_pallas=use_pallas)
@@ -969,14 +1033,17 @@ def _cutoffs_jit(cov, uniq_cov, bin_offset, bin_ends, q):
     return rc, urc, nzc, nzu, valid, cc, ucc
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2),
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3),
          static_argnames=("n_contigs", "total_bins_pad", "n_dense",
                           "k_steps", "window", "use_pallas",
-                          "emit_coverage"))
-def _pass_b_chunk_jit(u2_acc, taxon, um2, read_id, rid, pos, valid_mask,
+                          "emit_coverage", "pair_mode"))
+def _pass_b_chunk_jit(u2_acc, taxon, um2, pair_acc, bnd, rid_small, pos,
+                      n_valid, valid_mask,
                       lineage, lengths_u32, bin_offset, half, bin_width, *,
                       n_contigs, total_bins_pad, n_dense, k_steps, window,
-                      use_pallas, emit_coverage):
+                      use_pallas, emit_coverage, pair_mode):
+    read_id = _unpack_read_groups(bnd, pos.shape[0], n_valid)
+    rid = rid_small.astype(jnp.int32)
     rid_c = jnp.clip(rid, 0, n_contigs - 1)
     center = jnp.minimum(pos.astype(jnp.uint32) + half.astype(jnp.uint32),
                          lengths_u32[rid_c])
@@ -986,13 +1053,21 @@ def _pass_b_chunk_jit(u2_acc, taxon, um2, read_id, rid, pos, valid_mask,
     b = _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
                       n_contigs=n_contigs, total_bins_pad=total_bins_pad,
                       n_dense=n_dense, k_steps=k_steps, window=window,
-                      use_pallas=use_pallas, emit_coverage=emit_coverage)
+                      use_pallas=use_pallas, emit_coverage=emit_coverage,
+                      pair_mode=pair_mode)
     if emit_coverage:
         u2_acc = u2_acc + b["uniq_cov2"]
     else:
         u2_acc = u2_acc + b["u2_counts"]
-    return (u2_acc, taxon + b["taxon_counts"], um2 + b["uniq_matches2"],
-            b["pair_lca"], b["pair_rid"])
+    if pair_mode == "hist":
+        # (lca x contig) presence accumulates on device; ONE small int8
+        # fetch at finalize replaces two record-sized fetches per chunk
+        # (the device->host tunnel runs at ~40 MB/s)
+        pairs = (pair_acc | b["pair_hist"],)
+    else:
+        pairs = (pair_acc, b["pair_lca"], b["pair_rid"])
+    return (u2_acc, taxon + b["taxon_counts"],
+            um2 + b["uniq_matches2"]) + pairs
 
 
 def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
@@ -1070,19 +1145,19 @@ def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
     q = np.float32(options.cov_cut_off)
     lineage = jnp.asarray(dense.lineage)
 
-    def pad_chunk(c):
+    def pack_chunk(c):
         read_id, rid, pos = c
         n_pad = _bucket(len(read_id), engine.batch_pad)
-        out = []
-        for a, fill in ((read_id, -1), (rid, 0), (pos, 0)):
-            p = np.full(n_pad, fill, np.int32)
-            p[:len(a)] = a
-            out.append(p)
+        bnd, rid_p, pos_p, n_valid = pack_records_compact(
+            read_id, rid, pos, n_pad, n_contigs)
         _, k_steps, window = seg_plan(read_id)
-        return out[0], out[1], out[2], k_steps, window
+        return bnd, rid_p, pos_p, n_valid, k_steps, window
 
     # ---- pass A: accumulate coverage across chunk dispatches ----
-    # uploaded chunk arrays stay device-resident within a byte budget so
+    # chunks travel in the compact transfer format (~6.1 B/record:
+    # bitpacked read boundaries + int16 contig ids + int32 positions; the
+    # tunnel moves ~33 MB/s H2D so transfer bytes bound throughput).
+    # Uploaded chunk arrays stay device-resident within a byte budget so
     # pass B skips the host->device re-transfer (the dominant streaming
     # cost); past the budget, pass B re-uploads from the host copies
     budget = engine.stream_device_cache_bytes
@@ -1091,16 +1166,16 @@ def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
     um = jnp.int32(0)
     c = first
     while c is not None:
-        r, i, p, k_steps, window = pad_chunk(c)
-        d_r, d_i, d_p = jnp.asarray(r), jnp.asarray(i), jnp.asarray(p)
-        nbytes = 3 * 4 * len(r)
+        bnd, rid_p, pos_p, n_valid, k_steps, window = pack_chunk(c)
+        d = (jnp.asarray(bnd), jnp.asarray(rid_p), jnp.asarray(pos_p))
+        nbytes = bnd.nbytes + rid_p.nbytes + pos_p.nbytes
         if budget >= nbytes:
             budget -= nbytes
-            chunks.append(((d_r, d_i, d_p), k_steps, window))
+            chunks.append((d, n_valid, k_steps, window))
         else:
-            chunks.append(((r, i, p), k_steps, window))
+            chunks.append(((bnd, rid_p, pos_p), n_valid, k_steps, window))
         cov, uniq_cov, um = _pass_a_chunk_jit(
-            cov, uniq_cov, um, d_r, d_i, d_p,
+            cov, uniq_cov, um, d[0], d[1], d[2], n_valid,
             lengths_u32, bin_offset, half, bw,
             n_contigs=n_contigs, total_bins_pad=total_bins_pad,
             k_steps=k_steps, window=window, use_pallas=use_pallas)
