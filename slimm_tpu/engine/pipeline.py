@@ -1196,20 +1196,33 @@ def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
     rc, urc, nzc, nzu, valid, cc, ucc = _cutoffs_jit(cov, uniq_cov,
                                                      bin_offset, bin_ends, q)
 
-    # ---- pass B over the host-cached chunks ----
+    # ---- pass B over the cached chunks (device-resident or host copies) ----
     emit = engine.fetch_coverage
+    pair_mode = ("hist" if dense.n_dense * n_contigs <= PAIR_DOM_MAX
+                 else "arrays")
     u2_acc = jnp.zeros(total_bins_pad if emit else n_contigs, jnp.int32)
     taxon = jnp.zeros(dense.n_dense, jnp.int32)
     um2 = jnp.int32(0)
+    if pair_mode == "hist":
+        # (lca x contig) presence accumulates on device across chunks;
+        # ONE small fetch at finalize replaces per-chunk record-sized ones
+        pair_acc = jnp.zeros(dense.n_dense * n_contigs, jnp.int8)
+    else:
+        pair_acc = jnp.zeros((), jnp.int8)  # pass-through dummy
     pair_parts = []
-    for (r, i, p), k_steps, window in chunks:
-        u2_acc, taxon, um2, pl, pr = _pass_b_chunk_jit(
-            u2_acc, taxon, um2, jnp.asarray(r), jnp.asarray(i),
-            jnp.asarray(p), valid, lineage, lengths_u32, bin_offset, half,
-            bw, n_contigs=n_contigs, total_bins_pad=total_bins_pad,
-            n_dense=dense.n_dense, k_steps=k_steps, window=window,
-            use_pallas=use_pallas, emit_coverage=emit)
-        pair_parts.append((pl, pr))
+    for (r, i, p), n_valid, k_steps, window in chunks:
+        res = _pass_b_chunk_jit(
+            u2_acc, taxon, um2, pair_acc, jnp.asarray(r), jnp.asarray(i),
+            jnp.asarray(p), n_valid, valid, lineage, lengths_u32,
+            bin_offset, half, bw, n_contigs=n_contigs,
+            total_bins_pad=total_bins_pad, n_dense=dense.n_dense,
+            k_steps=k_steps, window=window, use_pallas=use_pallas,
+            emit_coverage=emit, pair_mode=pair_mode)
+        if pair_mode == "hist":
+            u2_acc, taxon, um2, pair_acc = res
+        else:
+            u2_acc, taxon, um2, pair_acc, pl, pr = res
+            pair_parts.append((pl, pr))
     timer.lap()
 
     # ---- host finalize via the shared packed layout ----
@@ -1229,11 +1242,14 @@ def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
         rc_n, urc_n, nzc_n, nzu_n, u2_n,
         np.asarray(valid).astype(np.int32), scalars,
         np.asarray(taxon)]).astype(np.int32)
-    pair_lca = np.concatenate([np.asarray(pl).ravel()
-                               for pl, _ in pair_parts])
-    pair_rid = np.concatenate([np.asarray(pr).ravel()
-                               for _, pr in pair_parts])
-    out = dict(packed=packed, pair_lca=pair_lca, pair_rid=pair_rid)
+    out = dict(packed=packed)
+    if pair_mode == "hist":
+        out["pair_hist"] = np.asarray(pair_acc)
+    else:
+        out["pair_lca"] = np.concatenate(
+            [np.asarray(pl).ravel() for pl, _ in pair_parts])
+        out["pair_rid"] = np.concatenate(
+            [np.asarray(pr).ravel() for _, pr in pair_parts])
     if emit:
         out.update(cov=cov, uniq_cov=uniq_cov, uniq_cov2=u2_acc)
     t2 = PhaseTimer(enabled=engine.phase_log)
