@@ -228,7 +228,8 @@ def cmd_profile(args) -> int:
         elif not args.no_device and engine.stream_chunk:
             from .engine.pipeline import profile_file_streaming
             state = profile_file_streaming(per_file_options, db, path,
-                                           engine=engine)
+                                           engine=engine,
+                                           sharded_runner=runner)
         elif args.no_device:
             from .io import AlignmentFile
             af = AlignmentFile(path)

@@ -1070,32 +1070,24 @@ def _pass_b_chunk_jit(u2_acc, taxon, um2, pair_acc, bnd, rid_small, pos,
             um2 + b["uniq_matches2"]) + pairs
 
 
-def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
-                           path: str, engine: EngineOptions | None = None,
-                           chunk_targets: int | None = None) -> ProfileState:
-    """Chunk-streaming profile of one (qname-grouped) SAM/BAM file.
+def _open_stream(path: str, engine: EngineOptions, chunk_targets: int):
+    """Open a native chunk stream with a decode-ahead producer thread.
 
-    Bit-identical to profile_file: the same dataflow, chunked.  Falls back
-    to the whole-file path when the native decoder is unavailable or the
-    input is not qname-grouped (coordinate-sorted BAMs)."""
+    Returns (stream_reader, next_chunk, thread) or None when streaming is
+    unavailable (native decoder not built, or the file fails to open as a
+    stream).  next_chunk() re-raises producer-side decode errors."""
     import queue
     import threading
 
-    engine = engine or EngineOptions()
-    chunk_targets = chunk_targets or engine.stream_chunk or (4 << 20)
     from ..io import native
     if not native.available():
-        return profile_file(options, db, path, engine=engine)
-    timer = PhaseTimer(enabled=engine.phase_log)
-
-    timer.start("Streaming alignment chunks ....................... ")
+        return None
     try:
         sr = native.NativeStreamReader(path,
                                        hash_names=engine.hash_read_names)
     except ValueError:
-        return profile_file(options, db, path, engine=engine)
+        return None
 
-    chunks: list = []
     feed: queue.Queue = queue.Queue(maxsize=2)
 
     def producer():
@@ -1117,6 +1109,69 @@ def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
             raise val
         return val
 
+    return sr, next_chunk, th
+
+
+def _stream_init(options: ProfileOptions, db: SlimmDatabase, sr,
+                 avg: int | None = None):
+    """Shared streaming setup: ProfileState + dense taxonomy + the numpy
+    bin-table geometry both the single-device and the sharded streaming
+    drivers dispatch against.  `avg` overrides the stream's sampled
+    average read length (multi-host: process 0's sample is broadcast so
+    every process agrees on bin_width)."""
+    st = ProfileState(options=options, ac__taxid=db.ac__taxid,
+                      taxid__name=db.taxid__name)
+    if avg is None:
+        avg = sr.avg_read_length
+    st.avg_read_length = avg
+    if options.bin_width == 0:
+        options.bin_width = avg
+    st.init_contigs(sr.contig_names, sr.contig_lengths, options.bin_width)
+    dense = tensorize(db, sr.contig_names)
+    total_bins = int(st.nbins.sum())
+    geom = dict(
+        n_contigs=len(st.accessions),
+        total_bins=total_bins,
+        total_bins_pad=-(-total_bins // 1024) * 1024,
+        lengths_u32=st.lengths.astype(np.uint32),
+        bin_offset=st.bin_offset.astype(np.int32),
+        bin_ends=(st.bin_offset + st.nbins).astype(np.int32),
+        half=np.int32(avg // 2),
+        bin_width=np.int32(options.bin_width),
+        q=np.float32(options.cov_cut_off))
+    return st, dense, geom
+
+
+def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
+                           path: str, engine: EngineOptions | None = None,
+                           chunk_targets: int | None = None,
+                           sharded_runner=None) -> ProfileState:
+    """Chunk-streaming profile of one (qname-grouped) SAM/BAM file.
+
+    Bit-identical to profile_file: the same dataflow, chunked.  Falls back
+    to the whole-file path when the native decoder is unavailable or the
+    input is not qname-grouped (coordinate-sorted BAMs).  With a
+    `sharded_runner` (ShardedRunner / MultiHostRunner) each chunk is routed
+    over the data mesh and the coverage state may additionally be
+    bin-sharded over the model axis — same integer psums as the whole-file
+    sharded path, so results stay bit-identical (BASELINE.md's streamed
+    multi-host config)."""
+    engine = engine or EngineOptions()
+    chunk_targets = chunk_targets or engine.stream_chunk or (4 << 20)
+    if sharded_runner is not None:
+        from ..parallel.streaming import profile_file_streaming_sharded
+        return profile_file_streaming_sharded(options, db, path,
+                                              sharded_runner, engine=engine,
+                                              chunk_targets=chunk_targets)
+    timer = PhaseTimer(enabled=engine.phase_log)
+
+    timer.start("Streaming alignment chunks ....................... ")
+    opened = _open_stream(path, engine, chunk_targets)
+    if opened is None:
+        return profile_file(options, db, path, engine=engine)
+    sr, next_chunk, th = opened
+
+    chunks: list = []
     try:
         first = next_chunk()
     except ValueError as e:
@@ -1126,23 +1181,16 @@ def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
         raise
 
     use_pallas = jax.devices()[0].platform != "cpu"
-    st = ProfileState(options=options, ac__taxid=db.ac__taxid,
-                      taxid__name=db.taxid__name)
-    avg = sr.avg_read_length
-    st.avg_read_length = avg
-    if options.bin_width == 0:
-        options.bin_width = avg
-    st.init_contigs(sr.contig_names, sr.contig_lengths, options.bin_width)
-    dense = tensorize(db, sr.contig_names)
-    n_contigs = len(st.accessions)
-    total_bins = int(st.nbins.sum())
-    total_bins_pad = -(-total_bins // 1024) * 1024
-    lengths_u32 = jnp.asarray(st.lengths.astype(np.uint32))
-    bin_offset = jnp.asarray(st.bin_offset.astype(np.int32))
-    bin_ends = jnp.asarray((st.bin_offset + st.nbins).astype(np.int32))
-    half = np.int32(avg // 2)
-    bw = np.int32(options.bin_width)
-    q = np.float32(options.cov_cut_off)
+    st, dense, geom = _stream_init(options, db, sr)
+    n_contigs = geom["n_contigs"]
+    total_bins = geom["total_bins"]
+    total_bins_pad = geom["total_bins_pad"]
+    lengths_u32 = jnp.asarray(geom["lengths_u32"])
+    bin_offset = jnp.asarray(geom["bin_offset"])
+    bin_ends = jnp.asarray(geom["bin_ends"])
+    half = geom["half"]
+    bw = geom["bin_width"]
+    q = geom["q"]
     lineage = jnp.asarray(dense.lineage)
 
     def pack_chunk(c):

@@ -81,6 +81,35 @@ def main():
             for row in st.abundance_rows():
                 f.write("\t".join(row) + "\n")
         print("WROTE", out_tsv, flush=True)
+
+    # ---- streaming x multi-host (VERDICT r2 item 2) ----
+    # each host streams a per-host SAM holding only ITS reads (complete
+    # reads per host, deterministic split by first-appearance order);
+    # chunked dispatch over the global mesh must merge to the same rows
+    from slimm_tpu.io import native
+
+    if native.available():
+        from slimm_tpu.engine.pipeline import profile_file_streaming
+        from tests.toy import write_sam
+
+        order_idx: dict = {}
+        for rec in ds.records:
+            order_idx.setdefault(rec[0], len(order_idx))
+        mine_recs = [r for r in ds.records
+                     if order_idx[r[0]] % n_proc == pid]
+        my_sam = write_sam(my_dir, mine_recs, name="mine.sam")
+        st2 = profile_file_streaming(
+            ProfileOptions(), copy.deepcopy(db), my_sam,
+            engine=EngineOptions(phase_log=False), chunk_targets=512,
+            sharded_runner=MultiHostRunner())
+        if pid == 0:
+            with open(out_tsv + ".stream", "wt") as f:
+                for row in st2.abundance_rows():
+                    f.write("\t".join(row) + "\n")
+            print("WROTE", out_tsv + ".stream", flush=True)
+    else:
+        print("NO-NATIVE: streaming leg skipped", flush=True)
+
     print("DONE", pid, flush=True)
     return 0
 

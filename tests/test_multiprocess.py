@@ -69,3 +69,11 @@ def test_two_process_distributed_matches_single(tmp_path):
     expected = ["\t".join(r) for r in st.abundance_rows()]
     got = open(out_tsv).read().splitlines()
     assert got == expected
+
+    # streaming x multi-host leg: each process streamed its own read
+    # slice in chunks; merged rows must still be bit-identical
+    if os.path.exists(out_tsv + ".stream"):
+        got_stream = open(out_tsv + ".stream").read().splitlines()
+        assert got_stream == expected
+    else:
+        assert any("NO-NATIVE" in o for o in outs), outs[0]
