@@ -251,6 +251,16 @@ def _hist2(idx, w1, w2, n_bins_pad, use_pallas):
     return h1, h2
 
 
+def _pack_bits_u8(x):
+    """Bitpack a 0/1 vector (length a multiple of 8) into uint8 bytes,
+    little bit-order (numpy unpackbits-compatible).  The device->host
+    tunnel fetch runs at ~40 MB/s, so presence maps ship 1 bit/slot
+    instead of 1 byte — 8x less of the dominant fetch."""
+    w = (jnp.int32(1) << jnp.arange(8, dtype=jnp.int32))[None, :]
+    b = x.reshape(-1, 8).astype(jnp.int32)
+    return jnp.sum(b * w, axis=1).astype(jnp.uint8)
+
+
 def _hist1(idx, w, n_bins_pad, use_pallas):
     if use_pallas and _kernel_fits(idx, n_bins_pad):
         from ..ops import mxu_hist
@@ -514,11 +524,13 @@ def _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
         # compact presence map over (dense lca x contig): ONE small fetch
         # instead of two record-sized arrays (the axon tunnel fetch runs at
         # ~40 MB/s, so fetch bytes are the host-tail bottleneck); callers
-        # flatnonzero it into the children sets
+        # accumulate/psum the int8 map on device, bitpack it at the output
+        # boundary (_pack_bits_u8) and flatnonzero it into the children
+        # sets.  Shape is the PADDED domain (multiple of 1024 → of 8).
         dom = -(-(n_dense * n_contigs) // 1024) * 1024
         pidx = jnp.clip(lca_b, 0, n_dense - 1) * n_contigs + rid_c
         ph = _hist1(pidx, t_multi, dom, use_pallas)
-        out["pair_hist"] = (ph[:n_dense * n_contigs] > 0).astype(jnp.int8)
+        out["pair_hist"] = (ph > 0).astype(jnp.int8)
     else:
         out["pair_lca"] = jnp.where(t_multi, lca_b, -1)
         out["pair_rid"] = jnp.where(t_multi, rid, -1)
@@ -642,7 +654,7 @@ def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
             # per-shard 0/1 presence; the psum stays exact in int8 below
             # 127 data shards and any positive value marks the pair
             ph = jax.lax.psum(ph, psum_axis)
-        out["pair_hist"] = ph
+        out["pair_bits"] = _pack_bits_u8(ph > 0)
     else:
         out["pair_lca"] = b["pair_lca"]
         out["pair_rid"] = b["pair_rid"]
@@ -941,8 +953,10 @@ def _finalize_state(st, out, dense, total_bins, engine, options, timer):
         tid = int(dense.dense_to_tid[d])
         st.taxon_id__read_count[tid] = (
             st.taxon_id__read_count.get(tid, 0) + int(counts[d]))
-    if "pair_hist" in out:
-        nz = np.flatnonzero(np.asarray(out["pair_hist"]))
+    if "pair_bits" in out:
+        pres = np.unpackbits(np.asarray(out["pair_bits"]),
+                             bitorder="little")
+        nz = np.flatnonzero(pres[:dense.n_dense * n_contigs])
         pairs = np.stack([nz // n_contigs, nz % n_contigs], axis=1)
     else:
         pair_lca = np.asarray(out["pair_lca"]).ravel()
@@ -1253,8 +1267,10 @@ def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
     um2 = jnp.int32(0)
     if pair_mode == "hist":
         # (lca x contig) presence accumulates on device across chunks;
-        # ONE small fetch at finalize replaces per-chunk record-sized ones
-        pair_acc = jnp.zeros(dense.n_dense * n_contigs, jnp.int8)
+        # ONE small bitpacked fetch at finalize replaces per-chunk
+        # record-sized ones
+        pair_dom = -(-(dense.n_dense * n_contigs) // 1024) * 1024
+        pair_acc = jnp.zeros(pair_dom, jnp.int8)
     else:
         pair_acc = jnp.zeros((), jnp.int8)  # pass-through dummy
     pair_parts = []
@@ -1292,7 +1308,7 @@ def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
         np.asarray(taxon)]).astype(np.int32)
     out = dict(packed=packed)
     if pair_mode == "hist":
-        out["pair_hist"] = np.asarray(pair_acc)
+        out["pair_bits"] = np.asarray(jax.jit(_pack_bits_u8)(pair_acc))
     else:
         out["pair_lca"] = np.concatenate(
             [np.asarray(pl).ravel() for pl, _ in pair_parts])
@@ -1340,7 +1356,7 @@ def fused_profile_batch(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                           window=window, use_pallas=use_pallas,
                           emit_coverage=emit_coverage, pair_mode=pair_mode)
         if pair_mode == "hist":
-            ys = (out["packed"], out["pair_hist"])
+            ys = (out["packed"], out["pair_bits"])
         else:
             ys = (out["packed"], out["pair_lca"], out["pair_rid"])
         if emit_coverage:
@@ -1351,7 +1367,7 @@ def fused_profile_batch(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                          (read_id, rid, pos, bin_offset, bin_ends,
                           half, bin_width))
     if pair_mode == "hist":
-        out = dict(packed=ys[0], pair_hist=ys[1])
+        out = dict(packed=ys[0], pair_bits=ys[1])
         rest = ys[2:]
     else:
         out = dict(packed=ys[0], pair_lca=ys[1], pair_rid=ys[2])
@@ -1468,7 +1484,7 @@ def profile_files_batched(options: ProfileOptions, db: SlimmDatabase,
         emit_coverage=engine.fetch_coverage, pair_mode=pair_mode)
     packed = np.asarray(out["packed"])          # one fetch for all files
     if pair_mode == "hist":
-        pair_hist = np.asarray(out["pair_hist"])
+        pair_bits = np.asarray(out["pair_bits"])
         pair_lca = pair_rid = None
     else:
         pair_lca = np.asarray(out["pair_lca"])
@@ -1485,7 +1501,7 @@ def profile_files_batched(options: ProfileOptions, db: SlimmDatabase,
     for k, (path, st, opts_k, b) in enumerate(preps):
         tb = int(st.nbins.sum())
         if pair_mode == "hist":
-            out_k = dict(packed=packed[k], pair_hist=pair_hist[k])
+            out_k = dict(packed=packed[k], pair_bits=pair_bits[k])
         else:
             out_k = dict(packed=packed[k], pair_lca=pair_lca[k],
                          pair_rid=pair_rid[k])

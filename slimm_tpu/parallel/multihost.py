@@ -141,7 +141,7 @@ class MultiHostRunner:
             base = (out["packed"], out["cov"], out["uniq_cov"],
                     out["uniq_cov2"])
             if pair_mode == "hist":
-                return base + (out["pair_hist"],)
+                return base + (out["pair_bits"],)
             return base + (out["pair_lca"][None], out["pair_rid"][None])
 
         pair_specs = ((P(),) if pair_mode == "hist"
@@ -187,7 +187,7 @@ class MultiHostRunner:
         out = dict(packed=outs[0], cov=outs[1], uniq_cov=outs[2],
                    uniq_cov2=outs[3])
         if pair_mode == "hist":
-            out["pair_hist"] = outs[4]  # replicated: addressable everywhere
+            out["pair_bits"] = outs[4]  # replicated: addressable everywhere
         else:
             pair_lca, pair_rid = outs[4], outs[5]
             if jax.process_count() > 1:

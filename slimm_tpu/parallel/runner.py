@@ -117,7 +117,7 @@ class ShardedRunner:
             base = (out["packed"], out["cov"], out["uniq_cov"],
                     out["uniq_cov2"])
             if pair_mode == "hist":
-                return base + (out["pair_hist"],)
+                return base + (out["pair_bits"],)
             return base + (out["pair_lca"][None], out["pair_rid"][None])
 
         hist_spec = P("model") if has_model else P()
@@ -150,7 +150,7 @@ class ShardedRunner:
         out = dict(packed=outs[0], cov=outs[1], uniq_cov=outs[2],
                    uniq_cov2=outs[3])
         if pair_mode == "hist":
-            out["pair_hist"] = outs[4]
+            out["pair_bits"] = outs[4]
         else:
             out["pair_lca"], out["pair_rid"] = outs[4], outs[5]
         return out

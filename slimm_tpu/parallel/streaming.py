@@ -306,8 +306,9 @@ class ShardedStreamSession:
                                  P("data", None))
         self.um2 = self._zeros((self.D,), jnp.int32, P("data"))
         if self.pair_mode == "hist":
-            self.pair = self._zeros((self.D, self.n_dense * self.C),
-                                    jnp.int8, P("data", None))
+            pair_dom = -(-(self.n_dense * self.C) // 1024) * 1024
+            self.pair = self._zeros((self.D, pair_dom), jnp.int8,
+                                    P("data", None))
         else:
             self.pair = self._zeros((self.D, 1), jnp.int8, P("data", None))
 
@@ -402,8 +403,10 @@ class ShardedStreamSession:
             um2_t = jax.lax.psum(um2, "data")[0]
             outs = (u2row, taxon_t, um2_t)
             if pm == "hist":
-                # per-shard 0/1 presence; int8 psum exact below 127 shards
-                outs = outs + (jax.lax.psum(pair, "data")[0],)
+                # per-shard 0/1 presence; int8 psum exact below 127
+                # shards; bitpacked for the 8x-smaller host fetch
+                ph = jax.lax.psum(pair, "data")[0]
+                outs = outs + (_pl._pack_bits_u8(ph > 0),)
             if emit:
                 outs = outs + (u2m,)
             return outs
@@ -445,7 +448,7 @@ class ShardedStreamSession:
             np.asarray(taxon_t)]).astype(np.int32)
         out = dict(packed=packed)
         if self.pair_mode == "hist":
-            out["pair_hist"] = (np.asarray(pair_merged) > 0)
+            out["pair_bits"] = np.asarray(pair_merged)
         else:
             parts = self._pair_parts
             if self.multihost:
