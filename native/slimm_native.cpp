@@ -47,6 +47,15 @@
 
 #include <zlib.h>
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+#if defined(__SSE2__)
+#include <emmintrin.h>
+#endif
+
 namespace {
 
 constexpr uint16_t FLAG_UNMAPPED = 0x4;
@@ -67,7 +76,19 @@ struct ByteSource {
   // Replace `out` with the next decompressed chunk; false at clean EOF.
   // Throws DecodeError on corrupt input.
   virtual bool next(std::vector<uint8_t>& out) = 0;
+  // Zero-copy variant: a view valid until the next call.  The default
+  // forwards to next() via an owned scratch buffer; mmap-backed sources
+  // override it to hand out file windows without the copy.
+  virtual bool next_view(const uint8_t** p, size_t* n) {
+    if (!next(scratch_)) return false;
+    *p = scratch_.data();
+    *n = scratch_.size();
+    return true;
+  }
   virtual std::string warning() const { return ""; }
+
+ private:
+  std::vector<uint8_t> scratch_;
 };
 
 constexpr size_t RAW_CHUNK = 1 << 20;  // compressed-side read granularity
@@ -88,11 +109,55 @@ struct FileReader {
   }
 };
 
-// Uncompressed file (plain SAM text or raw BAM stream).
+// Uncompressed file (plain SAM text or raw BAM stream).  Regular files are
+// memory-mapped and handed out as zero-copy windows (the parse is then one
+// pass over the page cache instead of read-copy + parse); pipes and
+// map-failures fall back to buffered reads.
 struct RawSource : ByteSource {
   FileReader rd;
-  explicit RawSource(const char* path) : rd(path) {}
+  const uint8_t* map = nullptr;
+  size_t map_size = 0;
+  size_t map_pos = 0;
+
+  explicit RawSource(const char* path) : rd(path) {
+    if (!rd.ok()) return;
+    int fd = fileno(rd.f);
+    struct stat st;
+    if (fstat(fd, &st) == 0 && S_ISREG(st.st_mode) && st.st_size > 0) {
+      void* m = mmap(nullptr, static_cast<size_t>(st.st_size), PROT_READ,
+                     MAP_PRIVATE, fd, 0);
+      if (m != MAP_FAILED) {
+        map = static_cast<const uint8_t*>(m);
+        map_size = static_cast<size_t>(st.st_size);
+        madvise(const_cast<uint8_t*>(map), map_size, MADV_SEQUENTIAL);
+      }
+    }
+  }
+  ~RawSource() override {
+    if (map) munmap(const_cast<uint8_t*>(map), map_size);
+  }
+
+  bool next_view(const uint8_t** p, size_t* n) override {
+    if (!map) return ByteSource::next_view(p, n);
+    if (map_pos >= map_size) return false;
+    size_t take = std::min(map_size - map_pos, static_cast<size_t>(8) << 20);
+    *p = map + map_pos;
+    *n = take;
+    map_pos += take;
+    return true;
+  }
+
   bool next(std::vector<uint8_t>& out) override {
+    if (map) {
+      const uint8_t* p;
+      size_t n;
+      if (!next_view(&p, &n)) {
+        out.clear();
+        return false;
+      }
+      out.assign(p, p + n);
+      return true;
+    }
     out.resize(RAW_CHUNK);
     size_t got = rd.read(out.data(), RAW_CHUNK);
     out.resize(got);
@@ -696,11 +761,58 @@ struct Decoder {
 
 // -- SAM text (chunk-streaming with carry-over) ------------------------------
 
+// First '\t' or '\n' in [p, end) — the tokenizer's single scan over the
+// line (SSE2 16-wide when available).
+static inline const char* find_delim(const char* p, const char* end) {
+#if defined(__SSE2__)
+  const __m128i vt = _mm_set1_epi8('\t');
+  const __m128i vn = _mm_set1_epi8('\n');
+  while (p + 16 <= end) {
+    __m128i v = _mm_loadu_si128(reinterpret_cast<const __m128i*>(p));
+    int m = _mm_movemask_epi8(
+        _mm_or_si128(_mm_cmpeq_epi8(v, vt), _mm_cmpeq_epi8(v, vn)));
+    if (m) return p + __builtin_ctz(static_cast<unsigned>(m));
+    p += 16;
+  }
+#endif
+  while (p < end && *p != '\t' && *p != '\n') ++p;
+  return p;
+}
+
+// Non-negative decimal parse; stops at the first non-digit (every SAM
+// numeric field is delimiter-terminated within the buffer).  atoi/atoll
+// pay locale + sign handling per call — this is the per-record hot path.
+static inline int64_t parse_uint(const char* p) {
+  int64_t v = 0;
+  while (*p >= '0' && *p <= '9') {
+    v = v * 10 + (*p - '0');
+    ++p;
+  }
+  return v;
+}
+
 struct SamParser {
   Decoder dec;
   StrMap rid_of;  // contig name -> header index (intern order == index)
   std::string carry;
   int64_t line_no = 0;
+
+  // alignment-line tail shared by the fast inline tokenizer and the
+  // carried-line fallback; field[k] points at the start of SAM column k
+  void handle_fields(StpuFile* f, const char* const field[11]) {
+    size_t qlen = (field[1] - 1) - field[0];
+    uint16_t flag = static_cast<uint16_t>(parse_uint(field[1]));
+    int64_t pos1 = parse_uint(field[3]);
+    const char* seq = field[9];
+    size_t seq_len = (field[10] - 1) - field[9];
+    if (seq_len == 1 && seq[0] == '*') seq_len = 0;
+    dec.sample_len(static_cast<int64_t>(seq_len));
+    int32_t rid = rid_of.find(field[2], (field[3] - 1) - field[2]);
+    if (!(flag & FLAG_UNMAPPED) && rid >= 0) {
+      dec.add_record(f, field[0], qlen, flag, rid,
+                     static_cast<int32_t>(pos1 - 1));
+    }
+  }
 
   void handle_line(StpuFile* f, const char* p, const char* line_end) {
     ++line_no;
@@ -746,18 +858,7 @@ struct SamParser {
       ++f->malformed;
       return;
     }
-    size_t qlen = (field[1] - 1) - field[0];
-    uint16_t flag = static_cast<uint16_t>(atoi(field[1]));
-    int64_t pos1 = atoll(field[3]);
-    const char* seq = field[9];
-    size_t seq_len = (field[10] - 1) - field[9];
-    if (seq_len == 1 && seq[0] == '*') seq_len = 0;
-    dec.sample_len(static_cast<int64_t>(seq_len));
-    int32_t rid = rid_of.find(field[2], (field[3] - 1) - field[2]);
-    if (!(flag & FLAG_UNMAPPED) && rid >= 0) {
-      dec.add_record(f, field[0], qlen, flag, rid,
-                     static_cast<int32_t>(pos1 - 1));
-    }
+    handle_fields(f, field);
   }
 
   int64_t data_lines = 0;  // non-header lines seen (header-complete signal)
@@ -776,13 +877,61 @@ struct SamParser {
       carry.clear();
       p = nl + 1;
     }
+    // Alignment lines tokenize in ONE scan: find_delim yields the next
+    // '\t' OR '\n', so field splitting and line termination share the
+    // same pass (the old flow scanned every line twice — newline memchr,
+    // then per-field tab memchrs).  Header/carried lines take the slow
+    // handle_line path.
     while (p < end) {
-      const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+      if (*p == '@') {
+        const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+        if (!nl) {
+          carry.assign(p, end - p);
+          p = end;
+          break;
+        }
+        handle_line(f, p, nl);
+        p = nl + 1;
+        continue;
+      }
+      if (*p == '\n') {  // empty line (handle_line counted it too)
+        ++line_no;
+        ++p;
+        continue;
+      }
+      const char* field[11];
+      int nf = 0;
+      const char* q = p;
+      const char* d = nullptr;
+      field[nf++] = q;
+      while (nf < 11) {
+        d = find_delim(q, end);
+        if (d == end) {  // line spans the chunk boundary
+          carry.assign(p, end - p);
+          dec.flush(f);
+          return;
+        }
+        if (*d == '\n') break;
+        q = d + 1;
+        field[nf++] = q;
+      }
+      if (nf < 11) {  // malformed alignment line (fewer than 11 columns)
+        ++line_no;
+        ++data_lines;
+        ++f->malformed;
+        p = d + 1;
+        continue;
+      }
+      const char* nl = static_cast<const char*>(
+          memchr(field[10], '\n', end - field[10]));
       if (!nl) {
         carry.assign(p, end - p);
-        break;
+        dec.flush(f);
+        return;
       }
-      handle_line(f, p, nl);
+      ++line_no;
+      ++data_lines;
+      handle_fields(f, field);
       p = nl + 1;
     }
     dec.flush(f);  // chunk boundary: expose progress to the stream API
@@ -816,17 +965,18 @@ struct Stream {
   size_t avail() const { return buf.size() - pos; }
 
   bool ensure(size_t n) {
-    std::vector<uint8_t> chunk;
+    const uint8_t* p;
+    size_t m;
     while (avail() < n && !eof) {
       if (pos > (1 << 22)) {
         buf.erase(buf.begin(), buf.begin() + pos);
         pos = 0;
       }
-      if (!src->next(chunk)) {
+      if (!src->next_view(&p, &m)) {
         eof = true;
         break;
       }
-      buf.insert(buf.end(), chunk.begin(), chunk.end());
+      buf.insert(buf.end(), p, p + m);
     }
     return avail() >= n;
   }
@@ -947,9 +1097,10 @@ void parse_sam_stream(ByteSource* src, StpuFile* f,
                       bool hash_names) {
   SamParser parser;
   parser.dec.hash_names = hash_names;
-  std::vector<uint8_t> chunk;
+  const uint8_t* p;
+  size_t n;
   if (have_first) parser.feed(f, first_chunk.data(), first_chunk.size());
-  while (src->next(chunk)) parser.feed(f, chunk.data(), chunk.size());
+  while (src->next_view(&p, &n)) parser.feed(f, p, n);
   parser.finish(f);
 }
 
@@ -1121,14 +1272,15 @@ struct StpuStream {
   // cap_targets (SAM granularity is one decompressed source chunk)
   void pull(size_t cap_targets) {
     if (sam) {
-      std::vector<uint8_t> chunk;
-      if (!src->next(chunk)) {
+      const uint8_t* p;
+      size_t n;
+      if (!src->next_view(&p, &n)) {
         sam->finish(&file);
         file.warning = src->warning();
         eof = true;
         return;
       }
-      sam->feed(&file, chunk.data(), chunk.size());
+      sam->feed(&file, p, n);
     } else {
       if (bam->parse_until(*bam_st, &file, cap_targets)) {
         bam->finish(&file);
@@ -1175,6 +1327,13 @@ void* stpu_stream_open2(const char* path, int flags) {
       // pull until the header is provably complete (first data line) or EOF
       while (!s->eof && s->sam->data_lines == 0) s->pull(1);
     }
+    // Complete the average-read-length sample BEFORE handing out chunks:
+    // bin_width derives from it (slimm.hpp:412-413) and the reference
+    // samples the file head (misc.hpp:509-522), so a small first chunk
+    // must not freeze a partial running average.  Buffers at most ~100k
+    // records' targets (~1.2 MB) — decoder memory stays flat.
+    while (!s->eof && s->dec().sample_count < 100000)
+      s->pull(s->file.read_id.size() + 4096);
   } catch (const std::exception& e) {
     s->error = e.what();
   }

@@ -33,8 +33,11 @@ def ensure_native_built():
 
 
 def test_stream_reader_matches_whole_file(toy_dir, tmp_path):
-    # big enough that the decoder's 1MB raw pulls yield several chunks
-    ds = build_toy_dataset(str(tmp_path), n_extra=20000, seed=5)
+    # big enough to chunk: the stream open pre-samples the first 100k
+    # records for the reference-exact average read length (bin_width
+    # derives from it, slimm.hpp:412-413), so chunked delivery starts
+    # after that prefix
+    ds = build_toy_dataset(str(tmp_path), n_extra=115000, seed=5)
     for path in (ds.sam_path, write_bam(str(tmp_path), ds.records)):
         whole = native.NativeAlignmentFile(path).load()
         sr = native.NativeStreamReader(path)
@@ -55,6 +58,29 @@ def test_stream_reader_matches_whole_file(toy_dir, tmp_path):
             np.concatenate([c[1] for c in parts]), whole.rid)
         assert sr.totals()[:2] == (whole.n_reads, whole.hits_count)
         assert sr.avg_read_length == whole.avg_read_length
+
+
+def test_streaming_avg_read_length_matches_whole(toy_dir, tmp_path):
+    # varying read lengths: the sampled average (hence the auto
+    # bin_width) must equal the whole-file decode even when the first
+    # stream chunk covers only a prefix of the 100k-record sample window
+    records = []
+    for k in range(3000):
+        ln = 60 if k < 500 else 180   # short head, long tail
+        records.append((f"v{k}", 0, k % 5, (37 * k) % 2000, ln))
+    sam = write_sam(str(tmp_path), records, name="varlen.sam")
+    whole = native.NativeAlignmentFile(sam)
+    wb = whole.load()
+    sr = native.NativeStreamReader(sam)
+    assert sr.avg_read_length == wb.avg_read_length
+    db = build_toy_db(toy_dir)
+    st_w = profile_file(ProfileOptions(), copy.deepcopy(db), sam,
+                        engine=EngineOptions(phase_log=False))
+    st_s = profile_file_streaming(
+        ProfileOptions(), copy.deepcopy(db), sam,
+        engine=EngineOptions(phase_log=False), chunk_targets=128)
+    assert st_w.options.bin_width == st_s.options.bin_width
+    assert_states_equal(st_w, st_s)
 
 
 @pytest.mark.parametrize("chunk", [512, 4096])
