@@ -60,6 +60,13 @@ class EngineOptions:
     # Directory mode: files profiled per fused device dispatch (a jit'ed
     # lax.scan over the file axis; amortizes the per-dispatch round trip).
     files_per_dispatch: int = 8
+    # Whole-file mode: overlap decode with the host->device record upload
+    # for files at least this large (bytes) by streaming fixed-size v2
+    # pieces to the device during decode and fusing them in ONE dispatch.
+    # 0 disables the overlap path.
+    overlap_min_bytes: int = 64 << 20
+    # Targets per uploaded piece in the overlap path (multiple of 2048).
+    overlap_piece_targets: int = 262144
     # Chunk-streaming decode+profile: targets per device chunk (0 = off,
     # whole-file single dispatch).  Bounds device memory for files whose
     # record arrays exceed HBM and overlaps decode with dispatch; requires

@@ -273,7 +273,7 @@ def _hist1(idx, w, n_bins_pad, use_pallas):
 def _pass_a_local(read_id, rid, pos, lengths_u32, bin_offset,
                   half, bin_width, *, n_contigs, total_bins_pad,
                   dedup_window, k_steps, window, use_pallas=False,
-                  bin_lo=None, hist_bins=None):
+                  bin_lo=None, hist_bins=None, t_gbin=None):
     """Grouped records → dedup mask, binning, uniqueness, coverage.
 
     read_id/rid/pos are int32[N_pad] record arrays padded with read_id ==
@@ -289,11 +289,15 @@ def _pass_a_local(read_id, rid, pos, lengths_u32, bin_offset,
     """
     valid = read_id >= 0
     rid_c = jnp.clip(rid, 0, n_contigs - 1)
-    # center-position binning with uint32 wrap semantics (slimm.hpp:200-201)
-    center = jnp.minimum(pos.astype(jnp.uint32) + half.astype(jnp.uint32),
-                         lengths_u32[rid_c])
-    local_bin = (center // bin_width.astype(jnp.uint32)).astype(jnp.int32)
-    t_gbin = bin_offset[rid_c] + local_bin
+    if t_gbin is None:
+        # center-position binning, uint32 wrap semantics (slimm.hpp:200-201);
+        # the compact-v2 transfer precomputes the (cheap, exact) bin on the
+        # host instead and skips this
+        center = jnp.minimum(
+            pos.astype(jnp.uint32) + half.astype(jnp.uint32),
+            lengths_u32[rid_c])
+        local_bin = (center // bin_width.astype(jnp.uint32)).astype(jnp.int32)
+        t_gbin = bin_offset[rid_c] + local_bin
 
     # first-hit-wins (read, contig) dedup: a record is a duplicate iff an
     # earlier record of the same read hits the same contig
@@ -546,7 +550,7 @@ def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                 half, bin_width, lineage, q, *, n_contigs, total_bins_pad,
                 n_dense, dedup_window, k_steps, window, use_pallas=False,
                 psum_axis=None, emit_coverage=True, model_axis=None,
-                model_shards=1, pair_mode="arrays"):
+                model_shards=1, pair_mode="arrays", t_gbin=None):
     """The whole per-file profile in one traced computation.
 
     Returns dict with `packed` (int32[6*C + 8 + n_dense]: reads_count,
@@ -578,7 +582,7 @@ def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                       total_bins_pad=total_bins_pad,
                       dedup_window=dedup_window, k_steps=k_steps,
                       window=window, use_pallas=use_pallas,
-                      bin_lo=bin_lo, hist_bins=hist_bins)
+                      bin_lo=bin_lo, hist_bins=hist_bins, t_gbin=t_gbin)
     cov, uniq_cov, uniq_matches = a["cov"], a["uniq_cov"], a["uniq_matches"]
     if psum_axis is not None:
         cov = jax.lax.psum(cov, psum_axis)
@@ -703,6 +707,96 @@ def fused_profile_compact(bnd_packed, rid_small, pos, n_valid, lengths_u32,
                        dedup_window=dedup_window, k_steps=k_steps,
                        window=window, use_pallas=use_pallas,
                        emit_coverage=emit_coverage, pair_mode=pair_mode)
+
+
+@partial(jax.jit, static_argnames=("n_contigs", "total_bins_pad", "n_dense",
+                                   "dedup_window", "k_steps", "window",
+                                   "use_pallas", "emit_coverage",
+                                   "pair_mode"))
+def fused_profile_compact2(bnd_packed, rid_small, lbin, n_valid, lengths_u32,
+                           bin_offset, bin_ends, half, bin_width, lineage, q,
+                           *, n_contigs, total_bins_pad, n_dense,
+                           dedup_window, k_steps, window, use_pallas=False,
+                           emit_coverage=True, pair_mode="arrays"):
+    """fused_profile over the v2 compact transfer: bitpacked read
+    boundaries + int16 contig ids + uint16 HOST-COMPUTED bin indices
+    (~4.1 B/record vs ~6.1 for v1).  The center/bin math is exact integer
+    work the host does in one vectorized pass; shipping the bin instead of
+    the position cuts the dominant ~33 MB/s H2D transfer by a third."""
+    n_pad = lbin.shape[0]
+    read_id = _unpack_read_groups(bnd_packed, n_pad, n_valid)
+    rid = rid_small.astype(jnp.int32)
+    t_gbin = (bin_offset[jnp.clip(rid, 0, n_contigs - 1)]
+              + lbin.astype(jnp.int32))
+    return _fused_core(read_id, rid, None, lengths_u32, bin_offset,
+                       bin_ends, half, bin_width, lineage, q,
+                       n_contigs=n_contigs, total_bins_pad=total_bins_pad,
+                       n_dense=n_dense, dedup_window=dedup_window,
+                       k_steps=k_steps, window=window, use_pallas=use_pallas,
+                       emit_coverage=emit_coverage, pair_mode=pair_mode,
+                       t_gbin=t_gbin)
+
+
+@partial(jax.jit, static_argnames=("n_contigs", "total_bins_pad", "n_dense",
+                                   "dedup_window", "k_steps", "window",
+                                   "use_pallas", "emit_coverage",
+                                   "pair_mode"))
+def fused_profile_pieces(bnds, rids, lbins, n_valids, lengths_u32,
+                         bin_offset, bin_ends, half, bin_width, lineage, q,
+                         *, n_contigs, total_bins_pad, n_dense, dedup_window,
+                         k_steps, window, use_pallas=False,
+                         emit_coverage=True, pair_mode="arrays"):
+    """One fused dispatch over K equally-padded v2 pieces that were
+    uploaded individually WHILE the file was still decoding (the overlap
+    path): pieces concatenate on device, per-piece valid prefixes become
+    interspersed read_id == -1 padding (safe for every segment reduction:
+    reads never span pieces, so pads only sit between reads)."""
+    K = len(lbins)
+    n_s = lbins[0].shape[0]
+    n_pad = n_s * K
+    bits = (jnp.concatenate(bnds)[:, None]
+            >> jnp.arange(8, dtype=jnp.uint8)[None, :]) & 1
+    gid = _cumsum_1d(bits.astype(jnp.int32).reshape(-1)) - 1
+    idx = jax.lax.iota(jnp.int32, n_pad)
+    piece = idx // n_s
+    valid = (idx - piece * n_s) < n_valids[piece]
+    read_id = jnp.where(valid, gid, -1)
+    rid = jnp.concatenate(rids).astype(jnp.int32)
+    lbin = jnp.concatenate(lbins).astype(jnp.int32)
+    t_gbin = bin_offset[jnp.clip(rid, 0, n_contigs - 1)] + lbin
+    return _fused_core(read_id, rid, None, lengths_u32, bin_offset,
+                       bin_ends, half, bin_width, lineage, q,
+                       n_contigs=n_contigs, total_bins_pad=total_bins_pad,
+                       n_dense=n_dense, dedup_window=dedup_window,
+                       k_steps=k_steps, window=window, use_pallas=use_pallas,
+                       emit_coverage=emit_coverage, pair_mode=pair_mode,
+                       t_gbin=t_gbin)
+
+
+def pack_records_compact2(read_id, rid, pos, n_pad, n_contigs, lengths_u32,
+                          half, bin_width):
+    """v2 compact transfer encode: (bitpacked boundaries uint8[n_pad/8],
+    rid int16|int32, HOST-COMPUTED local bin uint16, n_valid).  The bin is
+    the reference's exact center binning (uint32 wrap, slimm.hpp:200-201)
+    done in one vectorized numpy pass.  Callers must check that every
+    contig's bin count fits uint16 (max nbins <= 65535)."""
+    n = len(read_id)
+    bits = np.zeros(n_pad, np.uint8)
+    if n:
+        bits[0] = 1
+        np.not_equal(read_id[1:], read_id[:-1], out=bits[1:n].view(bool))
+    bnd = np.packbits(bits, bitorder="little")
+    rdt = np.int16 if n_contigs <= np.iinfo(np.int16).max else np.int32
+    rid_p = np.zeros(n_pad, rdt)
+    rid_p[:n] = rid
+    bin_p = np.zeros(n_pad, np.uint16)
+    if n:
+        rid_c = np.clip(np.asarray(rid), 0, n_contigs - 1)
+        center = np.minimum(
+            np.asarray(pos).astype(np.uint32) + np.uint32(half),
+            np.asarray(lengths_u32)[rid_c])
+        bin_p[:n] = (center // np.uint32(bin_width)).astype(np.uint16)
+    return bnd, rid_p, bin_p, np.int32(n)
 
 
 def pack_records_compact(read_id, rid, pos, n_pad, n_contigs):
@@ -886,19 +980,28 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
     else:
         use_pallas = jax.devices()[0].platform != "cpu"
         # compact pair output when the (lca x contig) domain is small:
-        # one 1-byte-per-slot fetch replaces two record-sized fetches
+        # one bitpacked fetch replaces two record-sized fetches
         pair_mode = ("hist" if dense.n_dense * n_contigs <= PAIR_DOM_MAX
                      else "arrays")
-        bnd, rid_p, pos_p, n_valid = pack_records_compact(
-            read_id, rid, pos, n_pad, n_contigs)
-        out = fused_profile_compact(bnd, rid_p, pos_p, n_valid,
-                                    jnp.asarray(lengths_u32),
-                                    jnp.asarray(bin_offset),
-                                    jnp.asarray(bin_ends),
-                                    half, bw, jnp.asarray(dense.lineage), q,
-                                    use_pallas=use_pallas,
-                                    emit_coverage=engine.fetch_coverage,
-                                    pair_mode=pair_mode, **kw)
+        if int(st.nbins.max()) <= np.iinfo(np.uint16).max:
+            # v2: host-computed uint16 bins, ~4.1 B/record on the tunnel
+            bnd, rid_p, bin_p, n_valid = pack_records_compact2(
+                read_id, rid, pos, n_pad, n_contigs, lengths_u32, half, bw)
+            out = fused_profile_compact2(
+                bnd, rid_p, bin_p, n_valid, jnp.asarray(lengths_u32),
+                jnp.asarray(bin_offset), jnp.asarray(bin_ends), half, bw,
+                jnp.asarray(dense.lineage), q, use_pallas=use_pallas,
+                emit_coverage=engine.fetch_coverage, pair_mode=pair_mode,
+                **kw)
+        else:
+            bnd, rid_p, pos_p, n_valid = pack_records_compact(
+                read_id, rid, pos, n_pad, n_contigs)
+            out = fused_profile_compact(
+                bnd, rid_p, pos_p, n_valid, jnp.asarray(lengths_u32),
+                jnp.asarray(bin_offset), jnp.asarray(bin_ends), half, bw,
+                jnp.asarray(dense.lineage), q, use_pallas=use_pallas,
+                emit_coverage=engine.fetch_coverage, pair_mode=pair_mode,
+                **kw)
 
     _finalize_state(st, out, dense, total_bins, engine, options, timer)
     return st
@@ -989,8 +1092,26 @@ def open_alignment_file(path: str, engine: EngineOptions | None = None):
 def profile_file(options: ProfileOptions, db: SlimmDatabase, path: str,
                  engine: EngineOptions | None = None,
                  sharded_runner=None) -> ProfileState:
-    """Decode one SAM/BAM file and profile it on device."""
+    """Decode one SAM/BAM file and profile it on device.
+
+    Large qname-grouped files take the overlap path: the native stream
+    decoder emits read-complete pieces that upload to the device WHILE
+    the rest of the file is still decoding, and a single fused dispatch
+    concatenates them on device — decode and the ~33 MB/s H2D transfer
+    (the two per-file latency bottlenecks) overlap, and the dispatch
+    count stays at one."""
     engine = engine or EngineOptions()
+    if (sharded_runner is None and engine.use_native
+            and engine.overlap_min_bytes > 0):
+        import os
+        try:
+            big = os.path.getsize(path) >= engine.overlap_min_bytes
+        except OSError:
+            big = False
+        if big:
+            st = _profile_file_overlap(options, db, path, engine)
+            if st is not None:
+                return st
     af = open_alignment_file(path, engine)
     batch = af.load()
     return profile_arrays(
@@ -999,6 +1120,151 @@ def profile_file(options: ProfileOptions, db: SlimmDatabase, path: str,
         batch.n_reads, batch.hits_count, batch.avg_read_length,
         engine=engine, sharded_runner=sharded_runner,
         max_targets=batch.max_targets)
+
+
+def _split_read_complete(read_id, rid, pos, cap):
+    """Split one decoded chunk into <= cap-target pieces cut at read
+    boundaries (reads never span pieces).  Returns None if a single read
+    exceeds cap (callers fall back to the whole-file path)."""
+    n = len(read_id)
+    if n <= cap:
+        return [(read_id, rid, pos)]
+    starts = np.flatnonzero(np.r_[True, read_id[1:] != read_id[:-1]])
+    out = []
+    lo = 0
+    while lo < n:
+        if n - lo <= cap:
+            hi = n
+        else:
+            j = int(np.searchsorted(starts, lo + cap, side="right")) - 1
+            hi = int(starts[j])
+            if hi <= lo:
+                return None  # one read alone exceeds cap
+        out.append((read_id[lo:hi], rid[lo:hi], pos[lo:hi]))
+        lo = hi
+    return out
+
+
+def _bucket_pieces(k):
+    b = 1
+    while b < k:
+        b = b * 2 if b < 32 else b + 16
+    return b
+
+
+def _profile_file_overlap(options: ProfileOptions, db: SlimmDatabase,
+                          path: str, engine: EngineOptions
+                          ) -> ProfileState | None:
+    """Whole-file profile with decode/upload overlap (see profile_file).
+    Returns None when the overlap path does not apply (no native stream,
+    non-grouped input, bins past uint16) — callers fall back."""
+    from ..io import native
+    if not native.available():
+        return None
+    try:
+        sr = native.NativeStreamReader(path,
+                                       hash_names=engine.hash_read_names)
+    except ValueError:
+        return None
+
+    st, dense, geom = _stream_init(options, db, sr)
+    n_contigs = geom["n_contigs"]
+    if int(st.nbins.max() if len(st.nbins) else 0) > np.iinfo(np.uint16).max:
+        return None  # v2 bins don't fit; standard path re-decodes
+    timer = PhaseTimer(enabled=engine.phase_log)
+    timer.start("Analysing alignments, reads and references ....... ")
+
+    cap = engine.overlap_piece_targets
+    n_s = -(-cap // 2048) * 2048
+    d_len = jnp.asarray(geom["lengths_u32"])
+    d_off = jnp.asarray(geom["bin_offset"])
+    d_ends = jnp.asarray(geom["bin_ends"])
+    d_lin = jnp.asarray(dense.lineage)
+
+    import queue
+    import threading
+
+    feed: queue.Queue = queue.Queue(maxsize=2)
+
+    def producer():
+        try:
+            while True:
+                c = sr.next_chunk(cap)
+                feed.put(("ok", c))
+                if c is None:
+                    return
+        except Exception as e:
+            feed.put(("err", e))
+
+    th = threading.Thread(target=producer, daemon=True)
+    th.start()
+
+    bnds, rids, bins, nvs = [], [], [], []
+    try:
+        while True:
+            kind, c = feed.get()
+            if kind == "err":
+                if isinstance(c, ValueError) and "not qname-grouped" in str(c):
+                    th.join()
+                    return None
+                raise c
+            if c is None:
+                break
+            pieces = _split_read_complete(c[0], c[1], c[2], n_s)
+            if pieces is None:
+                th.join()
+                return None
+            for (r, i, p) in pieces:
+                bnd, rid_p, bin_p, nv = pack_records_compact2(
+                    r, i, p, n_s, n_contigs, geom["lengths_u32"],
+                    geom["half"], geom["bin_width"])
+                # each upload overlaps the producer's decode of the next
+                # chunk; the fused dispatch below stays a single round trip
+                bnds.append(jnp.asarray(bnd))
+                rids.append(jnp.asarray(rid_p))
+                bins.append(jnp.asarray(bin_p))
+                nvs.append(int(nv))
+    finally:
+        th.join()
+
+    n_reads, hits_count, _ = sr.totals()
+    warn = sr.warning()
+    if warn:
+        print(f"[WARNING] {path}: {warn}", file=sys.stderr)
+    st.hits_count = hits_count
+    st.matches_count = n_reads
+    if hits_count == 0:
+        print("[WARNING] No mapped reads found in BAM file!", file=sys.stderr)
+        timer.lap()
+        return st
+
+    k_steps, window = plan_from_max_run(max(sr.max_targets, 1))
+    K = _bucket_pieces(len(bnds))
+    if K > len(bnds):  # pad with one shared all-empty piece
+        zb = jnp.asarray(np.zeros(n_s // 8, np.uint8))
+        zr = jnp.asarray(np.zeros(n_s, rids[0].dtype))
+        zn = jnp.asarray(np.zeros(n_s, np.uint16))
+        while len(bnds) < K:
+            bnds.append(zb)
+            rids.append(zr)
+            bins.append(zn)
+            nvs.append(0)
+
+    use_pallas = jax.devices()[0].platform != "cpu"
+    pair_mode = ("hist" if dense.n_dense * n_contigs <= PAIR_DOM_MAX
+                 else "arrays")
+    total_bins_pad = geom["total_bins_pad"]
+    out = fused_profile_pieces(
+        tuple(bnds), tuple(rids), tuple(bins),
+        jnp.asarray(np.asarray(nvs, np.int32)), d_len, d_off, d_ends,
+        geom["half"], geom["bin_width"], d_lin, geom["q"],
+        n_contigs=n_contigs, total_bins_pad=total_bins_pad,
+        n_dense=dense.n_dense, dedup_window=0, k_steps=k_steps,
+        window=window, use_pallas=use_pallas,
+        emit_coverage=engine.fetch_coverage, pair_mode=pair_mode)
+    _finalize_state(st, out, dense, geom["total_bins"], engine, options,
+                    timer)
+    return st
 
 
 # ---------------------------------------------------------------------------

@@ -214,6 +214,11 @@ class NativeStreamReader:
     def avg_read_length(self) -> int:
         return int(self._lib.stpu_stream_avg_len(self._h))
 
+    @property
+    def max_targets(self) -> int:
+        """Longest per-read target run (final once eof; 0 = not grouped)."""
+        return int(self._lib.stpu_max_targets(self._f))
+
     def totals(self):
         """(n_reads, hits_count, malformed) — final once eof."""
         f = self._f

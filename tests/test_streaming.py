@@ -60,6 +60,23 @@ def test_stream_reader_matches_whole_file(toy_dir, tmp_path):
         assert sr.avg_read_length == whole.avg_read_length
 
 
+def test_overlap_whole_file_matches_standard(tmp_path):
+    # whole-file overlap path (decode || H2D upload, ONE fused dispatch
+    # over uploaded v2 pieces) must be bit-identical to the standard
+    # whole-file decode-then-dispatch path
+    ds = build_toy_dataset(str(tmp_path), n_extra=4000, seed=13)
+    db = build_toy_db(ds)
+    st_std = profile_file(
+        ProfileOptions(), copy.deepcopy(db), ds.sam_path,
+        engine=EngineOptions(phase_log=False, overlap_min_bytes=0))
+    st_ovl = profile_file(
+        ProfileOptions(), copy.deepcopy(db), ds.sam_path,
+        engine=EngineOptions(phase_log=False, overlap_min_bytes=1,
+                             overlap_piece_targets=2048))
+    # several pieces + piece-count padding were exercised
+    assert_states_equal(st_std, st_ovl)
+
+
 def test_streaming_avg_read_length_matches_whole(toy_dir, tmp_path):
     # varying read lengths: the sampled average (hence the auto
     # bin_width) must equal the whole-file decode even when the first
