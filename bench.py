@@ -252,7 +252,7 @@ def bench_end_to_end(n_records, n_contigs, seed=1):
     base_times = []
     for _ in range(3):
         b0 = time.perf_counter()
-        af = native.NativeAlignmentFile(sam)
+        af = native.NativeAlignmentFile(sam, single_thread=True)
         batch = af.load()
         secs, counters = native.baseline_profile(
             batch.read_id.astype(np.int32), batch.rid, batch.pos,

@@ -31,12 +31,15 @@
 // Build: make -C native  (g++ -O3 -march=native, links zlib + pthread).
 
 #include <algorithm>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <chrono>
+#include <deque>
 #include <memory>
+#include <mutex>
 #include <numeric>
 #include <set>
 #include <stdexcept>
@@ -85,6 +88,10 @@ struct ByteSource {
     *n = scratch_.size();
     return true;
   }
+  // true when next_view windows stay valid for the source's LIFETIME
+  // (mmap), not just until the next call — required by the pipelined SAM
+  // decode, whose tokenizer runs ahead of the consumer.
+  virtual bool stable_views() const { return false; }
   virtual std::string warning() const { return ""; }
 
  private:
@@ -146,6 +153,8 @@ struct RawSource : ByteSource {
     map_pos += take;
     return true;
   }
+
+  bool stable_views() const override { return map != nullptr; }
 
   bool next(std::vector<uint8_t>& out) override {
     if (map) {
@@ -791,54 +800,133 @@ static inline int64_t parse_uint(const char* p) {
   return v;
 }
 
+// One tokenized alignment record; qname bytes point into the source's
+// stable window, or into the batch arena for carried lines.
+struct SamRec {
+  const char* q;        // nullptr -> arena_off into SamBatch::arena
+  uint32_t arena_off;
+  uint32_t qlen;
+  uint16_t flag;
+  int32_t rid;
+  int32_t pos;          // 0-based (pos field - 1)
+  int32_t seq_len;
+};
+
+struct SamBatch {
+  std::vector<SamRec> recs;
+  std::string arena;    // qname bytes of chunk-spanning (carried) lines
+  void clear() {
+    recs.clear();
+    arena.clear();
+  }
+};
+
+// Bounded SPSC hand-off between the tokenizer thread and the consumer
+// (interner/dedup) thread of the pipelined SAM decode.
+struct BatchQueue {
+  std::mutex m;
+  std::condition_variable cv_push, cv_pop;
+  std::deque<SamBatch> q;
+  bool closed = false;
+  bool abandoned = false;  // consumer went away: producer must exit
+  std::string err;
+  static constexpr size_t CAP = 3;
+
+  void push(SamBatch&& b) {
+    std::unique_lock<std::mutex> l(m);
+    cv_push.wait(l, [&] { return q.size() < CAP || abandoned; });
+    if (abandoned) return;
+    q.push_back(std::move(b));
+    cv_pop.notify_one();
+  }
+  bool pop(SamBatch& b) {
+    std::unique_lock<std::mutex> l(m);
+    cv_pop.wait(l, [&] { return !q.empty() || closed; });
+    if (q.empty()) return false;
+    b = std::move(q.front());
+    q.pop_front();
+    cv_push.notify_one();
+    return true;
+  }
+  void close(const std::string& e = "") {
+    std::lock_guard<std::mutex> l(m);
+    closed = true;
+    if (!e.empty()) err = e;
+    cv_pop.notify_all();
+  }
+  void abandon() {
+    std::lock_guard<std::mutex> l(m);
+    abandoned = true;
+    cv_push.notify_all();
+  }
+};
+
 struct SamParser {
   Decoder dec;
   StrMap rid_of;  // contig name -> header index (intern order == index)
   std::string carry;
   int64_t line_no = 0;
+  int64_t data_lines = 0;  // non-header lines seen (header-complete signal)
+  SamBatch scratch;        // single-thread feed() reuse
 
-  // alignment-line tail shared by the fast inline tokenizer and the
-  // carried-line fallback; field[k] points at the start of SAM column k
-  void handle_fields(StpuFile* f, const char* const field[11]) {
-    size_t qlen = (field[1] - 1) - field[0];
-    uint16_t flag = static_cast<uint16_t>(parse_uint(field[1]));
-    int64_t pos1 = parse_uint(field[3]);
+  // The parse is split into TOKENIZE (line/field scan, rid lookup,
+  // numeric fields — touches only tokenizer state) and CONSUME (read-name
+  // interning, first-hit dedup, target emit — touches only the Decoder
+  // and the output arrays), so the two halves can run pipelined on two
+  // threads (tokenize chunk k+1 while consuming chunk k).
+
+  void emit_rec(const char* const field[11], SamBatch& b, bool arena_copy) {
+    SamRec r;
+    r.qlen = static_cast<uint32_t>((field[1] - 1) - field[0]);
+    r.flag = static_cast<uint16_t>(parse_uint(field[1]));
+    r.pos = static_cast<int32_t>(parse_uint(field[3]) - 1);
     const char* seq = field[9];
-    size_t seq_len = (field[10] - 1) - field[9];
+    int64_t seq_len = (field[10] - 1) - field[9];
     if (seq_len == 1 && seq[0] == '*') seq_len = 0;
-    dec.sample_len(static_cast<int64_t>(seq_len));
-    int32_t rid = rid_of.find(field[2], (field[3] - 1) - field[2]);
-    if (!(flag & FLAG_UNMAPPED) && rid >= 0) {
-      dec.add_record(f, field[0], qlen, flag, rid,
-                     static_cast<int32_t>(pos1 - 1));
+    r.seq_len = static_cast<int32_t>(seq_len);
+    r.rid = rid_of.find(field[2], (field[3] - 1) - field[2]);
+    if (arena_copy) {  // transient bytes (carry buffer): own them
+      r.q = nullptr;
+      r.arena_off = static_cast<uint32_t>(b.arena.size());
+      b.arena.append(field[0], r.qlen);
+    } else {
+      r.q = field[0];
+      r.arena_off = 0;
+    }
+    b.recs.push_back(r);
+  }
+
+  void handle_header(StpuFile* f, const char* p, const char* line_end) {
+    if (line_end - p >= 3 && p[1] == 'S' && p[2] == 'Q') {
+      std::string sn;
+      int64_t ln = 0;
+      const char* q = p;
+      while (q < line_end) {
+        const char* tab =
+            static_cast<const char*>(memchr(q, '\t', line_end - q));
+        const char* fe = tab ? tab : line_end;
+        if (fe - q > 3 && q[2] == ':') {
+          if (q[0] == 'S' && q[1] == 'N') sn.assign(q + 3, fe - q - 3);
+          else if (q[0] == 'L' && q[1] == 'N')
+            ln = atoll(std::string(q + 3, fe - q - 3).c_str());
+        }
+        q = fe + 1;
+      }
+      if (!sn.empty() && rid_of.find(sn.data(), sn.size()) < 0) {
+        rid_of.intern(sn.data(), sn.size(), nullptr, 0);
+        f->ref_names.push_back(sn);
+        f->ref_lens.push_back(ln);
+      }
     }
   }
 
-  void handle_line(StpuFile* f, const char* p, const char* line_end) {
+  // slow path for complete lines held in transient memory (carry buffer)
+  void tokenize_line_slow(StpuFile* f, const char* p, const char* line_end,
+                          SamBatch& b) {
     ++line_no;
     if (p == line_end) return;
     if (*p == '@') {
-      if (line_end - p >= 3 && p[1] == 'S' && p[2] == 'Q') {
-        std::string sn;
-        int64_t ln = 0;
-        const char* q = p;
-        while (q < line_end) {
-          const char* tab =
-              static_cast<const char*>(memchr(q, '\t', line_end - q));
-          const char* fe = tab ? tab : line_end;
-          if (fe - q > 3 && q[2] == ':') {
-            if (q[0] == 'S' && q[1] == 'N') sn.assign(q + 3, fe - q - 3);
-            else if (q[0] == 'L' && q[1] == 'N')
-              ln = atoll(std::string(q + 3, fe - q - 3).c_str());
-          }
-          q = fe + 1;
-        }
-        if (!sn.empty() && rid_of.find(sn.data(), sn.size()) < 0) {
-          rid_of.intern(sn.data(), sn.size(), nullptr, 0);
-          f->ref_names.push_back(sn);
-          f->ref_lens.push_back(ln);
-        }
-      }
+      handle_header(f, p, line_end);
       return;
     }
     ++data_lines;
@@ -858,12 +946,10 @@ struct SamParser {
       ++f->malformed;
       return;
     }
-    handle_fields(f, field);
+    emit_rec(field, b, /*arena_copy=*/true);
   }
 
-  int64_t data_lines = 0;  // non-header lines seen (header-complete signal)
-
-  void feed(StpuFile* f, const uint8_t* data, size_t n) {
+  void tokenize(StpuFile* f, const uint8_t* data, size_t n, SamBatch& b) {
     const char* p = reinterpret_cast<const char*>(data);
     const char* end = p + n;
     if (!carry.empty()) {
@@ -873,28 +959,27 @@ struct SamParser {
         return;
       }
       carry.append(p, nl - p);
-      handle_line(f, carry.data(), carry.data() + carry.size());
+      tokenize_line_slow(f, carry.data(), carry.data() + carry.size(), b);
       carry.clear();
       p = nl + 1;
     }
     // Alignment lines tokenize in ONE scan: find_delim yields the next
     // '\t' OR '\n', so field splitting and line termination share the
     // same pass (the old flow scanned every line twice — newline memchr,
-    // then per-field tab memchrs).  Header/carried lines take the slow
-    // handle_line path.
+    // then per-field tab memchrs).
     while (p < end) {
       if (*p == '@') {
         const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
         if (!nl) {
           carry.assign(p, end - p);
-          p = end;
-          break;
+          return;
         }
-        handle_line(f, p, nl);
+        ++line_no;
+        handle_header(f, p, nl);
         p = nl + 1;
         continue;
       }
-      if (*p == '\n') {  // empty line (handle_line counted it too)
+      if (*p == '\n') {  // empty line
         ++line_no;
         ++p;
         continue;
@@ -908,7 +993,6 @@ struct SamParser {
         d = find_delim(q, end);
         if (d == end) {  // line spans the chunk boundary
           carry.assign(p, end - p);
-          dec.flush(f);
           return;
         }
         if (*d == '\n') break;
@@ -926,27 +1010,52 @@ struct SamParser {
           memchr(field[10], '\n', end - field[10]));
       if (!nl) {
         carry.assign(p, end - p);
-        dec.flush(f);
         return;
       }
       ++line_no;
       ++data_lines;
-      handle_fields(f, field);
+      emit_rec(field, b, /*arena_copy=*/false);
       p = nl + 1;
+    }
+  }
+
+  void tokenize_finish(StpuFile* f, SamBatch& b) {
+    if (!carry.empty()) {
+      tokenize_line_slow(f, carry.data(), carry.data() + carry.size(), b);
+      carry.clear();
+    }
+  }
+
+  void consume(StpuFile* f, const SamBatch& b) {
+    for (const SamRec& r : b.recs) {
+      dec.sample_len(r.seq_len);
+      if (!(r.flag & FLAG_UNMAPPED) && r.rid >= 0) {
+        const char* q = r.q ? r.q : b.arena.data() + r.arena_off;
+        dec.add_record(f, q, r.qlen, r.flag, r.rid, r.pos);
+      }
     }
     dec.flush(f);  // chunk boundary: expose progress to the stream API
   }
 
-  void finish(StpuFile* f) {
-    if (!carry.empty()) {
-      handle_line(f, carry.data(), carry.data() + carry.size());
-      carry.clear();
-    }
+  void feed(StpuFile* f, const uint8_t* data, size_t n) {
+    scratch.clear();
+    tokenize(f, data, n, scratch);
+    consume(f, scratch);
+  }
+
+  void finish_consume(StpuFile* f) {
     dec.flush(f);
     f->n_reads = static_cast<int64_t>(dec.n_keys());
     f->grouped_input = dec.grouped;
     if (dec.sample_count == 0) throw DecodeError("no records with sequences");
     f->avg_read_len = dec.sample_total / dec.sample_count;
+  }
+
+  void finish(StpuFile* f) {
+    scratch.clear();
+    tokenize_finish(f, scratch);
+    consume(f, scratch);
+    finish_consume(f);
   }
 };
 
@@ -1094,9 +1203,44 @@ void parse_bam_stream(Stream& st, StpuFile* f, bool hash_names) {
 
 void parse_sam_stream(ByteSource* src, StpuFile* f,
                       std::vector<uint8_t>& first_chunk, bool have_first,
-                      bool hash_names) {
+                      bool hash_names, bool single_thread) {
   SamParser parser;
   parser.dec.hash_names = hash_names;
+  if (!single_thread && src->stable_views()) {
+    // pipelined: tokenize (scan + field parse + rid lookup) on a worker
+    // thread, intern/dedup/emit on this thread — the two halves of the
+    // per-record cost overlap.  Window views are mmap-stable, so record
+    // qname pointers stay valid across the hand-off.
+    BatchQueue bq;
+    std::thread tok([&] {
+      try {
+        if (have_first) {
+          SamBatch b;
+          parser.tokenize(f, first_chunk.data(), first_chunk.size(), b);
+          bq.push(std::move(b));
+        }
+        const uint8_t* p;
+        size_t n;
+        while (src->next_view(&p, &n)) {
+          SamBatch b;
+          parser.tokenize(f, p, n, b);
+          bq.push(std::move(b));
+        }
+        SamBatch tail;
+        parser.tokenize_finish(f, tail);
+        bq.push(std::move(tail));
+        bq.close();
+      } catch (const std::exception& e) {
+        bq.close(e.what());
+      }
+    });
+    SamBatch b;
+    while (bq.pop(b)) parser.consume(f, b);
+    tok.join();
+    if (!bq.err.empty()) throw DecodeError(bq.err);
+    parser.finish_consume(f);
+    return;
+  }
   const uint8_t* p;
   size_t n;
   if (have_first) parser.feed(f, first_chunk.data(), first_chunk.size());
@@ -1157,10 +1301,13 @@ void group_targets(StpuFile* f) {
 extern "C" {
 
 // flags: bit 0 = hash read names (64-bit-hash keys, no name arena - the
-// billion-read scale mode; distinct colliding names merge)
+// billion-read scale mode; distinct colliding names merge); bit 1 =
+// single-thread decode (the honest single-core baseline configuration —
+// default SAM decode pipelines tokenize/consume on two threads)
 void* stpu_open2(const char* path, int flags) {
   auto* f = new StpuFile();
   bool hash_names = (flags & 1) != 0;
+  bool single_thread = (flags & 2) != 0;
   try {
     auto src = open_source(path);
     // sniff the decompressed head: "BAM\1" -> binary BAM, else SAM text
@@ -1174,7 +1321,8 @@ void* stpu_open2(const char* path, int flags) {
       st.buf = std::move(first);
       parse_bam_stream(st, f, hash_names);
     } else {
-      parse_sam_stream(src.get(), f, first, have_first, hash_names);
+      parse_sam_stream(src.get(), f, first, have_first, hash_names,
+                       single_thread);
     }
     f->warning = src->warning();
     // grouped inputs come out of the decoder already in read-id order
@@ -1258,8 +1406,41 @@ struct StpuStream {
   int64_t consumed = 0;             // targets already taken by the caller
   bool eof = false;
   std::string error;
+  // pipelined SAM decode (mmap sources): tokenizer thread runs ahead,
+  // pull() consumes one batch per call on the caller's thread
+  std::unique_ptr<BatchQueue> bq;
+  std::thread tok;
+
+  ~StpuStream() {
+    if (tok.joinable()) {
+      bq->abandon();
+      tok.join();
+    }
+  }
 
   Decoder& dec() { return sam ? sam->dec : bam->dec; }
+
+  void start_pipeline() {
+    bq = std::make_unique<BatchQueue>();
+    tok = std::thread([this] {
+      try {
+        const uint8_t* p;
+        size_t n;
+        while (src->next_view(&p, &n)) {
+          SamBatch b;
+          sam->tokenize(&file, p, n, b);
+          bq->push(std::move(b));
+          if (bq->abandoned) return;
+        }
+        SamBatch tail;
+        sam->tokenize_finish(&file, tail);
+        bq->push(std::move(tail));
+        bq->close();
+      } catch (const std::exception& e) {
+        bq->close(e.what());
+      }
+    });
+  }
 
   // targets safe to hand out: everything before the current run
   int64_t completed() {
@@ -1271,6 +1452,20 @@ struct StpuStream {
   // parse more input; for BAM stop once the target arrays reach
   // cap_targets (SAM granularity is one decompressed source chunk)
   void pull(size_t cap_targets) {
+    if (sam && bq) {  // pipelined: consume one tokenized batch
+      SamBatch b;
+      if (!bq->pop(b)) {
+        tok.join();
+        if (!bq->err.empty()) throw DecodeError(bq->err);
+        sam->finish_consume(&file);
+        file.warning = src->warning();
+        eof = true;
+        bq.reset();
+        return;
+      }
+      sam->consume(&file, b);
+      return;
+    }
     if (sam) {
       const uint8_t* p;
       size_t n;
@@ -1334,6 +1529,9 @@ void* stpu_stream_open2(const char* path, int flags) {
     // records' targets (~1.2 MB) — decoder memory stays flat.
     while (!s->eof && s->dec().sample_count < 100000)
       s->pull(s->file.read_id.size() + 4096);
+    // pipelined tokenize/consume for the rest of the stream (SAM + mmap)
+    if (s->sam && !s->eof && s->src->stable_views() && !(flags & 2))
+      s->start_pipeline();
   } catch (const std::exception& e) {
     s->error = e.what();
   }
@@ -1363,8 +1561,9 @@ int stpu_stream_eof(void* h) {
   return static_cast<StpuStream*>(h)->eof ? 1 : 0;
 }
 
-// current average read length over the (<=100k) sampled records; final and
-// reference-identical once >=100k records with sequences were parsed
+// average read length over the (<=100k) sampled records — final and
+// reference-identical from the moment the stream opens (stpu_stream_open2
+// completes the sample before handing out chunks)
 int64_t stpu_stream_avg_len(void* h) {
   auto* s = static_cast<StpuStream*>(h);
   if (!s->sam && !s->bam) return 0;

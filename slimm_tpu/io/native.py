@@ -98,13 +98,15 @@ def load_library():
 class NativeAlignmentFile:
     """Native decoder with the same contract as io.sam.AlignmentFile."""
 
-    def __init__(self, path: str, hash_names: bool = False):
+    def __init__(self, path: str, hash_names: bool = False,
+                 single_thread: bool = False):
         import sys
 
         lib = load_library()
         self._lib = lib
         self.path = path
-        self._h = lib.stpu_open2(path.encode(), 1 if hash_names else 0)
+        flags = (1 if hash_names else 0) | (2 if single_thread else 0)
+        self._h = lib.stpu_open2(path.encode(), flags)
         err = lib.stpu_error(self._h).decode()
         if err == "cannot open file":
             lib.stpu_close(self._h)
@@ -179,12 +181,13 @@ class NativeStreamReader:
     decoder memory stays flat for arbitrarily large files.
     """
 
-    def __init__(self, path: str, hash_names: bool = False):
+    def __init__(self, path: str, hash_names: bool = False,
+                 single_thread: bool = False):
         lib = load_library()
         self._lib = lib
         self.path = path
-        self._h = lib.stpu_stream_open2(path.encode(),
-                                        1 if hash_names else 0)
+        flags = (1 if hash_names else 0) | (2 if single_thread else 0)
+        self._h = lib.stpu_stream_open2(path.encode(), flags)
         err = lib.stpu_stream_error(self._h).decode()
         if err == "cannot open file":
             lib.stpu_stream_close(self._h)

@@ -15,6 +15,21 @@ import jax
 from jax.sharding import Mesh
 
 
+def route_shard(read_id, S: int):
+    """Shard assignment for each record's read: a multiplicative hash of
+    the read id instead of plain `read_id % S`.
+
+    Every shard is padded to the LOADED-MOST shard's row length, so skew
+    is paid by everyone: plain mod-S is adversarial to periodic inputs
+    (e.g. multi-hit reads recurring every S reads, or .1/.2 pair keys
+    landing in lock-step), while the Fibonacci-hash mix spreads any
+    periodic structure.  Routing choice never affects results — merges
+    are exact integer psums."""
+    h = np.asarray(read_id).astype(np.uint64)
+    h = (h * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
+    return (h % np.uint64(S)).astype(np.int64)
+
+
 def make_mesh(num_shards: int | None = None, devices=None) -> Mesh:
     """1-D mesh over the `data` axis (reads)."""
     devs = list(devices if devices is not None else jax.devices())

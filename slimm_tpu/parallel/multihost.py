@@ -87,19 +87,23 @@ class MultiHostRunner:
         return max_run
 
     def _shard_counts(self, read_id):
-        """Per-local-shard record counts for shard = read_id mod S (multi-hit
-        reads cluster mod S, so actual counts can exceed an even split)."""
+        """Per-local-shard record counts under the hashed routing (actual
+        counts can exceed an even split when multi-hit reads cluster)."""
+        from .mesh import route_shard
+
         S = self.local_shards
         valid = np.asarray(read_id) >= 0
-        shard = np.asarray(read_id)[valid] % S
+        shard = route_shard(np.asarray(read_id)[valid], S)
         return np.bincount(shard, minlength=S)
 
     def _route_local(self, read_id, rid, pos, n_s):
         """Partition THIS host's records over its local shards by read."""
+        from .mesh import route_shard
+
         S = self.local_shards
         valid = read_id >= 0
-        shard = np.where(valid, read_id % S, -1)
-        local_read = np.where(valid, read_id // S, -1).astype(np.int32)
+        shard = np.where(valid, route_shard(read_id, S), -1)
+        local_read = np.where(valid, read_id, -1).astype(np.int32)
         order = np.argsort(shard, kind="stable")
         shard_sorted = shard[order]
         counts = np.bincount(shard_sorted[shard_sorted >= 0], minlength=S)
@@ -157,7 +161,7 @@ class MultiHostRunner:
     def fused(self, read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
               half, bin_width, lineage, q, **kw):
         # agree on the shard row length across hosts: max ACTUAL per-shard
-        # count (shard = read_id mod S, so loads can be uneven), allgathered
+        # count (shard = hash(read id), so loads can be uneven), allgathered
         per_shard = int(max(self._shard_counts(read_id).max(), 1))
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils

@@ -1,8 +1,8 @@
 """shard_map data-parallel execution of the fused profiling pass.
 
-Reads are routed to shards on the host (shard = read_id mod S, local read
-id = read_id div S), so each shard holds every record of its reads and the
-grouped-by-read device contract is preserved per shard.  Each shard runs the
+Reads are routed to shards on the host (shard = hash(read id) mod S,
+parallel.mesh.route_shard), so each shard holds every record of its reads
+and the grouped-by-read device contract is preserved per shard.  Each shard runs the
 same `_fused_core` as the single-device path (slimm_tpu.engine.pipeline);
 coverage histograms, per-taxid LCA counts and scalar counters merge with
 jax.lax.psum over the `data` axis — integer collectives, hence bit-identical
@@ -61,11 +61,16 @@ class ShardedRunner:
 
     def _route(self, read_id, rid, pos):
         """Partition records by read so per-read state is shard-local;
-        preserves the grouped-by-read order within each shard."""
+        preserves the grouped-by-read order within each shard.  Shard =
+        hash(read id) (parallel.mesh.route_shard) so periodic inputs
+        don't skew one shard's padded row length; the device uses read
+        ids only through equality, so the raw ids ride along unchanged."""
+        from .mesh import route_shard
+
         S = self.n_shards
         valid = read_id >= 0
-        shard = np.where(valid, read_id % S, -1)
-        local_read = np.where(valid, read_id // S, -1).astype(np.int32)
+        shard = np.where(valid, route_shard(read_id, S), -1)
+        local_read = np.where(valid, read_id, -1).astype(np.int32)
         order = np.argsort(shard, kind="stable")  # record order kept per shard
         shard_sorted = shard[order]
         counts = np.bincount(shard_sorted[shard_sorted >= 0], minlength=S)

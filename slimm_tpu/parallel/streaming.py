@@ -53,15 +53,18 @@ from ..utils.timer import PhaseTimer
 
 def _route_compact(read_id, rid, pos, S, n_s, n_contigs):
     """Partition one chunk's grouped records over S data-shard rows
-    (shard = read id mod S; record order — hence read grouping — preserved
+    (shard = hash(read id); record order — hence read grouping — preserved
     per shard) in the compact transfer format: bitpacked read boundaries
     (1 bit/record), int16 contig ids (int32 past 32767 contigs), int32
     positions, per-shard valid counts."""
+    from .mesh import route_shard
+
     read_id = np.asarray(read_id)
     rid = np.asarray(rid)
     pos = np.asarray(pos)
-    order = np.argsort(read_id % S, kind="stable")
-    counts = np.bincount(read_id % S, minlength=S)
+    shard = route_shard(read_id, S)
+    order = np.argsort(shard, kind="stable")
+    counts = np.bincount(shard, minlength=S)
     rdt = np.int16 if n_contigs <= np.iinfo(np.int16).max else np.int32
     bits = np.zeros((S, n_s), np.uint8)
     rid_p = np.zeros((S, n_s), rdt)
@@ -159,8 +162,10 @@ class ShardedStreamSession:
         if chunk is None:
             has, per_shard, max_run = 0, 0, 1
         else:
+            from .mesh import route_shard
+
             has = 1
-            counts = np.bincount(np.asarray(chunk[0]) % self.local_rows,
+            counts = np.bincount(route_shard(chunk[0], self.local_rows),
                                  minlength=self.local_rows)
             per_shard = int(counts.max()) if counts.size else 0
             max_run, _, _ = seg_plan(chunk[0])

@@ -41,6 +41,24 @@ def test_sharded_large_random(tmp_path):
     assert_states_equal(st_o, st_s)
 
 
+def test_route_shard_balances_periodic_skew():
+    # adversarial input: multi-hit reads recur every S reads — plain
+    # read_id % S would put every extra record on one shard; the hashed
+    # routing keeps the padded row length near the even split
+    from slimm_tpu.parallel.mesh import route_shard
+
+    S = 8
+    n_reads = 80_000
+    read_id = np.repeat(np.arange(n_reads), 1)
+    heavy = read_id[read_id % S == 3]          # periodic heavy reads
+    read_id = np.sort(np.concatenate([read_id] + [heavy] * 4))
+    mod_counts = np.bincount(read_id % S, minlength=S)
+    hash_counts = np.bincount(route_shard(read_id, S), minlength=S)
+    even = len(read_id) / S
+    assert mod_counts.max() > 1.5 * even       # mod-S really is skewed
+    assert hash_counts.max() < 1.15 * even     # hashing spreads it
+
+
 def test_mesh_construction():
     mesh = make_mesh()
     assert mesh.devices.size == len(jax.devices())
