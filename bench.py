@@ -129,17 +129,18 @@ def bench_device(w, reps):
     sustained = (time.perf_counter() - t0) / reps
 
     # cold per-file latency INCLUDING the host->device record transfer in
-    # the compact format (the real per-file dispatch path: the device
+    # the compact v2 format (the real per-file dispatch path: the device
     # arrays above are uploaded once outside the timed loop, which hides
-    # the ~33 MB/s tunnel transfer)
-    from slimm_tpu.engine.pipeline import (fused_profile_compact,
-                                           pack_records_compact)
+    # the ~40 MB/s tunnel transfer)
+    from slimm_tpu.engine.pipeline import (fused_profile_compact2,
+                                           pack_records_compact2)
 
     def step_cold():
-        bnd, rid_p, pos_p, n_valid = pack_records_compact(
-            w["read_id"], w["rid"], w["pos"], n_pad, n_contigs)
-        out = fused_profile_compact(
-            jnp.asarray(bnd), jnp.asarray(rid_p), jnp.asarray(pos_p),
+        bnd, rid_p, bin_p, n_valid = pack_records_compact2(
+            w["read_id"], w["rid"], w["pos"], n_pad, n_contigs,
+            w["lengths"], half, bin_width)
+        out = fused_profile_compact2(
+            jnp.asarray(bnd), jnp.asarray(rid_p), jnp.asarray(bin_p),
             n_valid, d_len, d_off, d_ends, half, bin_width, d_lineage, q,
             n_contigs=n_contigs, total_bins_pad=total_bins_pad,
             n_dense=w["n_dense"], dedup_window=0, k_steps=k_steps,
@@ -225,7 +226,10 @@ def bench_end_to_end(n_records, n_contigs, seed=1):
         return st, t0, t1, t2, t3
 
     one_pass()                      # warm the jit cache (one-time compile;
-    st, t0, t1, t2, t3 = one_pass()  # the CLI amortizes it across files)
+    # the CLI amortizes it across files).  The 2-vCPU host is noisy
+    # (2-3x run-to-run): keep the best of 3 per path.
+    runs = [one_pass() for _ in range(3)]
+    st, t0, t1, t2, t3 = min(runs, key=lambda r: r[4] - r[1])
 
     # the real CLI path for large files: decode overlapped with the
     # host->device upload of v2 pieces, one fused dispatch
@@ -240,7 +244,8 @@ def bench_end_to_end(n_records, n_contigs, seed=1):
         return stv, time.perf_counter() - o0
 
     overlap_pass()                        # warm the pieces jit
-    stv, overlap_secs = overlap_pass()
+    ovl = [overlap_pass() for _ in range(3)]
+    stv, overlap_secs = min(ovl, key=lambda r: r[1])
     assert stv.matches_count == st.matches_count
 
     # the C++ side of the SAME unit of work (reference slimm.hpp:946-968:
@@ -259,7 +264,7 @@ def bench_end_to_end(n_records, n_contigs, seed=1):
             batch.n_reads, w["lengths"], w["lineage"],
             batch.avg_read_length, batch.avg_read_length)
         base_times.append(time.perf_counter() - b0)
-    base_e2e = float(np.median(base_times))
+    base_e2e = float(np.min(base_times))  # same best-of estimator as ours
     assert counters["matches"] == st.matches_count
 
     os.remove(sam)

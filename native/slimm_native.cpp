@@ -92,6 +92,9 @@ struct ByteSource {
   // (mmap), not just until the next call — required by the pipelined SAM
   // decode, whose tokenizer runs ahead of the consumer.
   virtual bool stable_views() const { return false; }
+  // total decompressed size when knowable up front (mmap), else 0 —
+  // lets whole-file decodes pre-reserve the target arrays
+  virtual size_t size_hint() const { return 0; }
   virtual std::string warning() const { return ""; }
 
  private:
@@ -155,6 +158,7 @@ struct RawSource : ByteSource {
   }
 
   bool stable_views() const override { return map != nullptr; }
+  size_t size_hint() const override { return map_size; }
 
   bool next(std::vector<uint8_t>& out) override {
     if (map) {
@@ -1006,11 +1010,23 @@ struct SamParser {
         p = d + 1;
         continue;
       }
-      const char* nl = static_cast<const char*>(
-          memchr(field[10], '\n', end - field[10]));
-      if (!nl) {
-        carry.assign(p, end - p);
-        return;
+      // qual is exactly as long as seq in well-formed SAM (or the single
+      // char '*'), so the newline usually sits at field[10] + seq_len —
+      // probing there first skips scanning the qual bytes (~40% of the
+      // file).  '*' quals and tag-carrying lines miss the probe and take
+      // the memchr path.
+      const char* nl = nullptr;
+      ptrdiff_t slen = (field[10] - 1) - field[9];
+      if (slen > 1 && *field[10] != '*' && field[10] + slen < end
+          && field[10][slen] == '\n') {
+        nl = field[10] + slen;
+      } else {
+        nl = static_cast<const char*>(
+            memchr(field[10], '\n', end - field[10]));
+        if (!nl) {
+          carry.assign(p, end - p);
+          return;
+        }
       }
       ++line_no;
       ++data_lines;
@@ -1206,6 +1222,14 @@ void parse_sam_stream(ByteSource* src, StpuFile* f,
                       bool hash_names, bool single_thread) {
   SamParser parser;
   parser.dec.hash_names = hash_names;
+  if (size_t hint = src->size_hint()) {
+    // pre-reserve the target arrays (~1 record per ~200 input bytes is a
+    // safe overestimate for alignment SAM) so growth never re-copies MBs
+    size_t est = hint / 200 + 1024;
+    f->read_id.reserve(est);
+    f->rid.reserve(est);
+    f->pos.reserve(est);
+  }
   if (!single_thread && src->stable_views()) {
     // pipelined: tokenize (scan + field parse + rid lookup) on a worker
     // thread, intern/dedup/emit on this thread — the two halves of the
@@ -1522,6 +1546,10 @@ void* stpu_stream_open2(const char* path, int flags) {
       // pull until the header is provably complete (first data line) or EOF
       while (!s->eof && s->sam->data_lines == 0) s->pull(1);
     }
+    // pipelined tokenize/consume for the rest of the stream (SAM + mmap);
+    // started before the sampling pulls below so they too overlap
+    if (s->sam && !s->eof && s->src->stable_views() && !(flags & 2))
+      s->start_pipeline();
     // Complete the average-read-length sample BEFORE handing out chunks:
     // bin_width derives from it (slimm.hpp:412-413) and the reference
     // samples the file head (misc.hpp:509-522), so a small first chunk
@@ -1529,9 +1557,6 @@ void* stpu_stream_open2(const char* path, int flags) {
     // records' targets (~1.2 MB) — decoder memory stays flat.
     while (!s->eof && s->dec().sample_count < 100000)
       s->pull(s->file.read_id.size() + 4096);
-    // pipelined tokenize/consume for the rest of the stream (SAM + mmap)
-    if (s->sam && !s->eof && s->src->stable_views() && !(flags & 2))
-      s->start_pipeline();
   } catch (const std::exception& e) {
     s->error = e.what();
   }

@@ -1181,51 +1181,35 @@ def _profile_file_overlap(options: ProfileOptions, db: SlimmDatabase,
     d_ends = jnp.asarray(geom["bin_ends"])
     d_lin = jnp.asarray(dense.lineage)
 
-    import queue
-    import threading
-
-    feed: queue.Queue = queue.Queue(maxsize=2)
-
-    def producer():
-        try:
-            while True:
-                c = sr.next_chunk(cap)
-                feed.put(("ok", c))
-                if c is None:
-                    return
-        except Exception as e:
-            feed.put(("err", e))
-
-    th = threading.Thread(target=producer, daemon=True)
-    th.start()
-
+    # Synchronous chunk loop: the C++ decoder is ALREADY pipelined (its
+    # tokenizer thread runs ahead behind a bounded queue), so next_chunk
+    # blocks only on the consumer half; the pack + async upload below
+    # overlap the tokenizer's decode of the next window.  A python-side
+    # producer thread here measured SLOWER on the 2-vCPU host (three
+    # compute threads contending for two cores).
     bnds, rids, bins, nvs = [], [], [], []
-    try:
-        while True:
-            kind, c = feed.get()
-            if kind == "err":
-                if isinstance(c, ValueError) and "not qname-grouped" in str(c):
-                    th.join()
-                    return None
-                raise c
-            if c is None:
-                break
-            pieces = _split_read_complete(c[0], c[1], c[2], n_s)
-            if pieces is None:
-                th.join()
+    while True:
+        try:
+            c = sr.next_chunk(cap)
+        except ValueError as e:
+            if "not qname-grouped" in str(e):
                 return None
-            for (r, i, p) in pieces:
-                bnd, rid_p, bin_p, nv = pack_records_compact2(
-                    r, i, p, n_s, n_contigs, geom["lengths_u32"],
-                    geom["half"], geom["bin_width"])
-                # each upload overlaps the producer's decode of the next
-                # chunk; the fused dispatch below stays a single round trip
-                bnds.append(jnp.asarray(bnd))
-                rids.append(jnp.asarray(rid_p))
-                bins.append(jnp.asarray(bin_p))
-                nvs.append(int(nv))
-    finally:
-        th.join()
+            raise
+        if c is None:
+            break
+        pieces = _split_read_complete(c[0], c[1], c[2], n_s)
+        if pieces is None:
+            return None
+        for (r, i, p) in pieces:
+            bnd, rid_p, bin_p, nv = pack_records_compact2(
+                r, i, p, n_s, n_contigs, geom["lengths_u32"],
+                geom["half"], geom["bin_width"])
+            # uploads are async enqueues; the fused dispatch below stays
+            # a single round trip
+            bnds.append(jnp.asarray(bnd))
+            rids.append(jnp.asarray(rid_p))
+            bins.append(jnp.asarray(bin_p))
+            nvs.append(int(nv))
 
     n_reads, hits_count, _ = sr.totals()
     warn = sr.warning()

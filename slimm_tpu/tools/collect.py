@@ -2,8 +2,8 @@
 
 Faithful behavior notes (collect_profiles.py:17-61): rows are keyed by the
 LINEAGE column; the "name" output column actually carries the abundance
-value of the last file that mentioned the taxon (values[3]); the per-sample
-columns carry the READ COUNT (values[4]); sort is descending by level, then
+value of the last file that mentioned the taxon (row[3]); the per-sample
+columns carry the READ COUNT (row[4]); sort is descending by level, then
 lineage, then the sample columns.
 """
 
@@ -12,38 +12,40 @@ from __future__ import annotations
 import pandas as pd
 
 
+def _sample_name(path: str) -> str:
+    """File stem between the last '/' and the last '.'"""
+    return path[path.rfind("/") + 1:path.rfind(".")]
+
+
 def collect_profiles(profile_paths: list[str],
                      output_path: str = "merged_profile.tsv") -> str:
-    samples = []
-    for file_path in profile_paths:
-        f_name_start = file_path.rfind("/")
-        dot_pos = file_path.rfind(".")
-        samples.append(file_path[f_name_start + 1:dot_pos])
-    column_names = ["level", "taxid", "name", "linage"] + samples
+    samples = [_sample_name(p) for p in profile_paths]
+    header = ["level", "taxid", "name", "linage"] + samples
 
-    all_taxids: dict[str, list] = {}
-    for file_path in profile_paths:
-        with open(file_path) as f:
+    # union of taxa across every profile, keyed by lineage string; the
+    # "name" slot holds the LAST-seen abundance (reference quirk)
+    by_lineage: dict[str, list] = {}
+    for path in profile_paths:
+        with open(path) as f:
             next(f)
             for line in f:
-                values = line.rstrip("\n").split("\t")
-                all_taxids[values[2]] = [values[0], values[1], values[3],
-                                         values[2]]
+                row = line.rstrip("\n").split("\t")
+                by_lineage[row[2]] = [row[0], row[1], row[3], row[2]]
+    for key in by_lineage:
+        by_lineage[key] = by_lineage[key] + len(samples) * ["0.0"]
 
-    for key in all_taxids:
-        all_taxids[key] = all_taxids[key] + len(samples) * ["0.0"]
-
-    for sample_no, file_path in enumerate(profile_paths):
-        with open(file_path) as f:
+    # zero-filled read-count matrix, one column per sample
+    for k, path in enumerate(profile_paths):
+        with open(path) as f:
             next(f)
             for line in f:
-                values = line.rstrip("\n").split("\t")
-                all_taxids[values[2]][4 + sample_no] = values[4]
+                row = line.rstrip("\n").split("\t")
+                by_lineage[row[2]][4 + k] = row[4]
 
-    merged = pd.DataFrame.from_dict(all_taxids, orient="index")
-    merged.columns = column_names
-    sort_columns = ["level"] + column_names[3:]
-    merged.sort_values(sort_columns, ascending=len(sort_columns) * [False],
+    merged = pd.DataFrame.from_dict(by_lineage, orient="index")
+    merged.columns = header
+    order_by = ["level"] + header[3:]
+    merged.sort_values(order_by, ascending=len(order_by) * [False],
                        inplace=True)
     merged.to_csv(path_or_buf=output_path, sep="\t", index=False)
     return output_path
