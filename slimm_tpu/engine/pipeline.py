@@ -261,6 +261,17 @@ def _pack_bits_u8(x):
     return jnp.sum(b * w, axis=1).astype(jnp.uint8)
 
 
+def _pack_bits_words(x):
+    """Bitpack a 0/1 vector (length a multiple of 32) into int32 words
+    whose little-endian byte view equals _pack_bits_u8's bytes — so the
+    presence map can ride INSIDE the packed int32 stats vector and the
+    whole result comes back in ONE device->host round trip (round trips
+    cost ~26 ms each on the tunnel and do not overlap)."""
+    w = (jnp.int32(1) << jnp.arange(32, dtype=jnp.int32))[None, :]
+    b = x.reshape(-1, 32).astype(jnp.int32)
+    return jnp.sum(b * w, axis=1)  # disjoint bits: wrapping sum == OR
+
+
 def _hist1(idx, w, n_bins_pad, use_pallas):
     if use_pallas and _kernel_fits(idx, n_bins_pad):
         from ..ops import mxu_hist
@@ -651,17 +662,20 @@ def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
     packed = jnp.concatenate([rc, urc, nzc, nzu, u2,
                               valid_mask.astype(jnp.int32), scalars,
                               taxon_counts])
-    out = dict(packed=packed)
+    out = dict()
     if pair_mode == "hist":
         ph = b["pair_hist"]
         if psum_axis is not None:
             # per-shard 0/1 presence; the psum stays exact in int8 below
             # 127 data shards and any positive value marks the pair
             ph = jax.lax.psum(ph, psum_axis)
-        out["pair_bits"] = _pack_bits_u8(ph > 0)
+        # ride the bitpacked presence map inside the packed vector: one
+        # fetch round trip instead of two
+        packed = jnp.concatenate([packed, _pack_bits_words(ph > 0)])
     else:
         out["pair_lca"] = b["pair_lca"]
         out["pair_rid"] = b["pair_rid"]
+    out["packed"] = packed
     if emit_coverage:
         out.update(cov=cov, uniq_cov=uniq_cov, uniq_cov2=uniq_cov2)
     return out
@@ -786,7 +800,12 @@ def pack_records_compact2(read_id, rid, pos, n_pad, n_contigs, lengths_u32,
         bits[0] = 1
         np.not_equal(read_id[1:], read_id[:-1], out=bits[1:n].view(bool))
     bnd = np.packbits(bits, bitorder="little")
-    rdt = np.int16 if n_contigs <= np.iinfo(np.int16).max else np.int32
+    if n_contigs <= np.iinfo(np.uint8).max:
+        rdt = np.uint8
+    elif n_contigs <= np.iinfo(np.int16).max:
+        rdt = np.int16
+    else:
+        rdt = np.int32
     rid_p = np.zeros(n_pad, rdt)
     rid_p[:n] = rid
     bin_p = np.zeros(n_pad, np.uint16)
@@ -1056,17 +1075,24 @@ def _finalize_state(st, out, dense, total_bins, engine, options, timer):
         tid = int(dense.dense_to_tid[d])
         st.taxon_id__read_count[tid] = (
             st.taxon_id__read_count.get(tid, 0) + int(counts[d]))
-    if "pair_bits" in out:
-        pres = np.unpackbits(np.asarray(out["pair_bits"]),
-                             bitorder="little")
-        nz = np.flatnonzero(pres[:dense.n_dense * n_contigs])
-        pairs = np.stack([nz // n_contigs, nz % n_contigs], axis=1)
-    else:
+    base = 6 * n_contigs + _N_SCALARS + dense.n_dense
+    packed_np = np.asarray(out["packed"])
+    if "pair_lca" in out:
         pair_lca = np.asarray(out["pair_lca"]).ravel()
         pair_rid = np.asarray(out["pair_rid"]).ravel()
         keep = pair_lca >= 0
         pairs = np.unique(np.stack([pair_lca[keep], pair_rid[keep]], axis=1),
                           axis=0)
+    else:
+        # bitpacked (lca x contig) presence: either streamed separately
+        # (pair_bits uint8) or riding as int32 words in the packed tail
+        if "pair_bits" in out:
+            pbytes = np.asarray(out["pair_bits"])
+        else:
+            pbytes = np.ascontiguousarray(packed_np[base:]).view(np.uint8)
+        pres = np.unpackbits(pbytes, bitorder="little")
+        nz = np.flatnonzero(pres[:dense.n_dense * n_contigs])
+        pairs = np.stack([nz // n_contigs, nz % n_contigs], axis=1)
     for d, r in pairs.tolist():
         tid = int(dense.dense_to_tid[d])
         st.taxon_id__children.setdefault(tid, set()).add(int(r))
@@ -1606,7 +1632,7 @@ def fused_profile_batch(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                           window=window, use_pallas=use_pallas,
                           emit_coverage=emit_coverage, pair_mode=pair_mode)
         if pair_mode == "hist":
-            ys = (out["packed"], out["pair_bits"])
+            ys = (out["packed"],)   # pair bits ride in the packed tail
         else:
             ys = (out["packed"], out["pair_lca"], out["pair_rid"])
         if emit_coverage:
@@ -1617,8 +1643,8 @@ def fused_profile_batch(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                          (read_id, rid, pos, bin_offset, bin_ends,
                           half, bin_width))
     if pair_mode == "hist":
-        out = dict(packed=ys[0], pair_bits=ys[1])
-        rest = ys[2:]
+        out = dict(packed=ys[0])
+        rest = ys[1:]
     else:
         out = dict(packed=ys[0], pair_lca=ys[1], pair_rid=ys[2])
         rest = ys[3:]
@@ -1734,8 +1760,7 @@ def profile_files_batched(options: ProfileOptions, db: SlimmDatabase,
         emit_coverage=engine.fetch_coverage, pair_mode=pair_mode)
     packed = np.asarray(out["packed"])          # one fetch for all files
     if pair_mode == "hist":
-        pair_bits = np.asarray(out["pair_bits"])
-        pair_lca = pair_rid = None
+        pair_lca = pair_rid = None              # bits ride in packed[k]
     else:
         pair_lca = np.asarray(out["pair_lca"])
         pair_rid = np.asarray(out["pair_rid"])
@@ -1751,7 +1776,7 @@ def profile_files_batched(options: ProfileOptions, db: SlimmDatabase,
     for k, (path, st, opts_k, b) in enumerate(preps):
         tb = int(st.nbins.sum())
         if pair_mode == "hist":
-            out_k = dict(packed=packed[k], pair_bits=pair_bits[k])
+            out_k = dict(packed=packed[k])
         else:
             out_k = dict(packed=packed[k], pair_lca=pair_lca[k],
                          pair_rid=pair_rid[k])

@@ -144,11 +144,11 @@ class MultiHostRunner:
                               **kw)
             base = (out["packed"], out["cov"], out["uniq_cov"],
                     out["uniq_cov2"])
-            if pair_mode == "hist":
-                return base + (out["pair_bits"],)
+            if pair_mode == "hist":   # pair bits ride in the packed tail
+                return base
             return base + (out["pair_lca"][None], out["pair_rid"][None])
 
-        pair_specs = ((P(),) if pair_mode == "hist"
+        pair_specs = (() if pair_mode == "hist"
                       else (P("data", None),) * 2)
         mapped = jax.shard_map(
             shard_fn, mesh=mesh,
@@ -190,9 +190,7 @@ class MultiHostRunner:
                   jnp.asarray(lineage), jnp.asarray(q))
         out = dict(packed=outs[0], cov=outs[1], uniq_cov=outs[2],
                    uniq_cov2=outs[3])
-        if pair_mode == "hist":
-            out["pair_bits"] = outs[4]  # replicated: addressable everywhere
-        else:
+        if pair_mode != "hist":   # hist: bits ride in the replicated packed
             pair_lca, pair_rid = outs[4], outs[5]
             if jax.process_count() > 1:
                 # data-sharded global jax.Arrays span non-addressable

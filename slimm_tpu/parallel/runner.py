@@ -121,12 +121,12 @@ class ShardedRunner:
                               **kw)
             base = (out["packed"], out["cov"], out["uniq_cov"],
                     out["uniq_cov2"])
-            if pair_mode == "hist":
-                return base + (out["pair_bits"],)
+            if pair_mode == "hist":   # pair bits ride in the packed tail
+                return base
             return base + (out["pair_lca"][None], out["pair_rid"][None])
 
         hist_spec = P("model") if has_model else P()
-        pair_specs = ((P(),) if pair_mode == "hist"
+        pair_specs = (() if pair_mode == "hist"
                       else (P("data", None),) * 2)
         mapped = jax.shard_map(
             shard_fn, mesh=mesh,
@@ -154,8 +154,6 @@ class ShardedRunner:
                   jnp.asarray(lineage), jnp.asarray(q))
         out = dict(packed=outs[0], cov=outs[1], uniq_cov=outs[2],
                    uniq_cov2=outs[3])
-        if pair_mode == "hist":
-            out["pair_bits"] = outs[4]
-        else:
+        if pair_mode != "hist":
             out["pair_lca"], out["pair_rid"] = outs[4], outs[5]
         return out
