@@ -18,7 +18,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Driver target (BASELINE.md): >=10x reads/s per chip vs single-core C++.
 
 Env knobs: SLIMM_BENCH_RECORDS (default 8_000_000), SLIMM_BENCH_CONTIGS (50),
-SLIMM_BENCH_REPS (5).
+SLIMM_BENCH_REPS (5), SLIMM_BENCH_E2E_RECORDS (default 4_000_000 — a ~1.3 GB
+SAM; representative of a real per-sample alignment file).
 """
 
 import json
@@ -302,7 +303,7 @@ def main():
     base_secs, counters = bench_baseline(w, reps)
     latency_secs, sustained_secs, latency_h2d_secs = bench_device(w, reps)
     e2e = bench_end_to_end(
-        int(os.environ.get("SLIMM_BENCH_E2E_RECORDS", 1_000_000)), n_contigs)
+        int(os.environ.get("SLIMM_BENCH_E2E_RECORDS", 4_000_000)), n_contigs)
 
     dev_rps = n / sustained_secs
     base_rps = n / base_secs

@@ -58,6 +58,9 @@
 #if defined(__SSE2__)
 #include <emmintrin.h>
 #endif
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -498,6 +501,21 @@ struct StrMap {
 
   size_t size() const { return meta.size(); }
 
+  // Pre-size for ~est keys (empty maps only): skips the incremental 4x
+  // rehashes — each one a random-write pass over the new table — when the
+  // key count is predictable from the input size.  Capped at 2^24 slots
+  // (128 MB); beyond that the amortized growth cost is negligible.
+  void reserve_keys(size_t est) {
+    size_t want = slots.size();
+    size_t target = est + est / 2;  // keep fill factor under ~0.7
+    while (want < target && want < (size_t(1) << 24)) want <<= 1;
+    if (want > slots.size() && meta.empty()) {
+      slots.assign(want, 0);
+      mask = want - 1;
+    }
+    meta.reserve(est);
+  }
+
   static uint64_t hash2_64(const char* a, size_t n, const char* b,
                            size_t m) {
     uint64_t h = 1469598103934665603ull;  // FNV-1a over a ++ b
@@ -599,6 +617,17 @@ struct Hash64Map {
 
   size_t size() const { return count; }
 
+  void reserve_keys(size_t est) {  // see StrMap::reserve_keys
+    size_t want = keys.size();
+    size_t target = est + est / 2;
+    while (want < target && want < (size_t(1) << 24)) want <<= 1;
+    if (want > keys.size() && count == 0) {
+      keys.assign(want, 0);
+      ids.assign(want, -1);
+      mask = want - 1;
+    }
+  }
+
   void grow() {
     size_t n = keys.size() * 4;
     std::vector<uint64_t> nk(n, 0);
@@ -637,6 +666,12 @@ struct Hash64Map {
 struct Decoder {
   StrMap key_to_id;
   bool hash_names = false;  // scale mode: 64-bit hash keys, no name arena
+  // BAM sets copy_keys: Stream::take invalidates record pointers across
+  // refills, so pending qname bytes must be owned.  The SAM paths keep
+  // every record's bytes valid through the per-chunk flush (mmap windows
+  // are source-lifetime stable; transient chunks outlive their consume),
+  // so they run pointer-mode with no per-record copy.
+  bool copy_keys = false;
   Hash64Map hkey_to_id;
   PairSet seen;  // (read, contig) first-hit dedup — fallback path only
   // Fast path for qname-grouped inputs (mapper output order): while every
@@ -679,6 +714,7 @@ struct Decoder {
   // the bytes are still hot, hiding the miss latency behind parsing.
   static constexpr int BATCH = 16;
   struct Pending {
+    const char* q;  // pointer mode; nullptr -> pbuf offset qoff (copy mode)
     uint32_t qoff;
     uint32_t qlen;
     uint16_t flag;
@@ -688,10 +724,15 @@ struct Decoder {
   };
   Pending pend[BATCH];
   int npend = 0;
-  std::vector<char> pbuf;  // copied qname bytes (chunk memory is transient)
+  std::vector<char> pbuf;  // copied qname bytes (copy_keys mode only)
 
   size_t n_keys() const {
     return hash_names ? hkey_to_id.size() : key_to_id.size();
+  }
+
+  void reserve_keys(size_t est) {
+    if (hash_names) hkey_to_id.reserve_keys(est);
+    else key_to_id.reserve_keys(est);
   }
 
   void add_record(StpuFile* f, const char* qname, size_t qlen, uint16_t flag,
@@ -704,16 +745,18 @@ struct Decoder {
     if (hash_names) hkey_to_id.prefetch(h64);
     else key_to_id.prefetch(static_cast<uint32_t>(h64));
     Pending& p = pend[npend++];
-    p.qoff = static_cast<uint32_t>(pbuf.size());
     p.qlen = static_cast<uint32_t>(qlen);
     p.flag = flag;
     p.rid = rid;
     p.pos = pos;
     p.h64 = h64;
-    if (!hash_names) {  // the hash-key mode never stores name bytes
+    if (copy_keys && !hash_names) {  // hash-key mode never stores bytes
+      p.q = nullptr;
+      p.qoff = static_cast<uint32_t>(pbuf.size());
       pbuf.insert(pbuf.end(), qname, qname + qlen);
-      if (flag & FLAG_FIRST) pbuf.insert(pbuf.end(), {'.', '1'});
-      else if (flag & FLAG_LAST) pbuf.insert(pbuf.end(), {'.', '2'});
+    } else {
+      p.q = qname;
+      p.qoff = 0;
     }
     if (npend == BATCH) flush(f);
   }
@@ -721,8 +764,10 @@ struct Decoder {
   void flush(StpuFile* f) {
     for (int k = 0; k < npend; ++k) {
       const Pending& p = pend[k];
-      size_t klen = p.qlen + ((p.flag & (FLAG_FIRST | FLAG_LAST)) ? 2 : 0);
-      add_one(f, pbuf.data() + p.qoff, klen, p.h64, p.rid, p.pos);
+      const char* key = p.q ? p.q : pbuf.data() + p.qoff;
+      const char* sfx = (p.flag & FLAG_FIRST) ? ".1" : ".2";
+      size_t sn = (p.flag & (FLAG_FIRST | FLAG_LAST)) ? 2 : 0;
+      add_one(f, key, p.qlen, sn ? sfx : "", sn, p.h64, p.rid, p.pos);
     }
     npend = 0;
     pbuf.clear();
@@ -731,13 +776,12 @@ struct Decoder {
   // add a mapped record: intern the read and emit a target unless the
   // (read, contig) pair was already seen (first hit wins,
   // read_stat.hpp:116-135)
-  void add_one(StpuFile* f, const char* key, size_t klen, uint64_t h64,
-               int32_t rid, int32_t pos) {
+  void add_one(StpuFile* f, const char* a, size_t n, const char* b, size_t m,
+               uint64_t h64, int32_t rid, int32_t pos) {
     size_t before = n_keys();
     int32_t id = hash_names
         ? hkey_to_id.intern(h64)
-        : key_to_id.intern_hashed(key, klen, nullptr, 0,
-                                  static_cast<uint32_t>(h64));
+        : key_to_id.intern_hashed(a, n, b, m, static_cast<uint32_t>(h64));
     ++f->hits;
     if (grouped) {
       if (id == last_id) {
@@ -775,8 +819,20 @@ struct Decoder {
 // -- SAM text (chunk-streaming with carry-over) ------------------------------
 
 // First '\t' or '\n' in [p, end) — the tokenizer's single scan over the
-// line (SSE2 16-wide when available).
+// line (AVX2 32-wide / SSE2 16-wide when available).  The wide path pays
+// off on the ~read-length seq field; short fields exit on iteration one.
 static inline const char* find_delim(const char* p, const char* end) {
+#if defined(__AVX2__)
+  const __m256i wt = _mm256_set1_epi8('\t');
+  const __m256i wn = _mm256_set1_epi8('\n');
+  while (p + 32 <= end) {
+    __m256i v = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(p));
+    int m = _mm256_movemask_epi8(
+        _mm256_or_si256(_mm256_cmpeq_epi8(v, wt), _mm256_cmpeq_epi8(v, wn)));
+    if (m) return p + __builtin_ctz(static_cast<unsigned>(m));
+    p += 32;
+  }
+#endif
 #if defined(__SSE2__)
   const __m128i vt = _mm_set1_epi8('\t');
   const __m128i vn = _mm_set1_epi8('\n');
@@ -1135,6 +1191,8 @@ struct BamParser {
   int32_t n_ref = 0;
   int64_t rec_no = 0;
 
+  BamParser() { dec.copy_keys = true; }  // Stream::take recycles its buffer
+
   void init(Stream& st, StpuFile* f) {
     const uint8_t* p = st.take(4, "magic");
     if (memcmp(p, "BAM\1", 4) != 0) throw DecodeError("not a BAM stream");
@@ -1229,6 +1287,7 @@ void parse_sam_stream(ByteSource* src, StpuFile* f,
     f->read_id.reserve(est);
     f->rid.reserve(est);
     f->pos.reserve(est);
+    parser.dec.reserve_keys(est);  // one read per record is the worst case
   }
   if (!single_thread && src->stable_views()) {
     // pipelined: tokenize (scan + field parse + rid lookup) on a worker
@@ -1542,6 +1601,8 @@ void* stpu_stream_open2(const char* path, int flags) {
     } else {
       s->sam = std::make_unique<SamParser>();
       s->sam->dec.hash_names = hash_names;
+      if (size_t hint = s->src->size_hint())
+        s->sam->dec.reserve_keys(hint / 200 + 1024);
       if (have_first) s->sam->feed(&s->file, first.data(), first.size());
       // pull until the header is provably complete (first data line) or EOF
       while (!s->eof && s->sam->data_lines == 0) s->pull(1);
@@ -1624,6 +1685,65 @@ void stpu_stream_take(void* h, int64_t n, int32_t* read_id, int32_t* rid,
   memcpy(read_id, s->file.read_id.data() + s->consumed, n * 4);
   memcpy(rid, s->file.rid.data() + s->consumed, n * 4);
   memcpy(pos, s->file.pos.data() + s->consumed, n * 4);
+  s->consumed += n;
+  s->compact();
+}
+
+// Parse until >= cap read-complete targets are available (or EOF) and
+// return the length of the next piece: the largest read-boundary cut
+// <= cap.  0 at EOF, -1 on decode error, -2 when one read's targets alone
+// exceed cap (callers fall back to the whole-file path).
+int64_t stpu_stream_next_piece(void* h, int64_t cap) {
+  auto* s = static_cast<StpuStream*>(h);
+  int64_t avail = stpu_stream_next(h, cap);
+  if (avail < 0) return -1;
+  if (avail <= cap) return avail;  // EOF tail or an exact boundary fit
+  const int32_t* r = s->file.read_id.data() + s->consumed;
+  int64_t cut = cap;
+  while (cut > 0 && r[cut] == r[cut - 1]) --cut;
+  return cut > 0 ? cut : -2;
+}
+
+// v2-encode n targets (n <= last next_piece return) into zero-padded
+// n_pad-sized piece arrays and release them: bitpacked read boundaries
+// (little-endian bit order, bit 0 of the piece always set), rid cast to
+// rid_dtype (0=uint8, 1=int16, 2=int32), and the reference's exact
+// uint32-wrap center binning (slimm.hpp:200-201) as a uint16 local bin.
+// This is the engine's compact transfer format computed inside the decode
+// pipeline — the Python host never touches per-record data.
+void stpu_stream_take_v2(void* h, int64_t n, int64_t n_pad,
+                         const uint32_t* lengths, uint32_t half,
+                         uint32_t bin_width, uint8_t* bnd, void* rid_out,
+                         int rid_dtype, uint16_t* bin_out) {
+  auto* s = static_cast<StpuStream*>(h);
+  const int32_t* read_id = s->file.read_id.data() + s->consumed;
+  const int32_t* rid = s->file.rid.data() + s->consumed;
+  const int32_t* pos = s->file.pos.data() + s->consumed;
+  memset(bnd, 0, static_cast<size_t>(n_pad / 8));
+  for (int64_t i = 0; i < n; ++i) {
+    bool b = (i == 0) || (read_id[i] != read_id[i - 1]);
+    bnd[i >> 3] |= static_cast<uint8_t>(b) << (i & 7);
+  }
+  if (rid_dtype == 0) {
+    auto* o = static_cast<uint8_t*>(rid_out);
+    for (int64_t i = 0; i < n; ++i) o[i] = static_cast<uint8_t>(rid[i]);
+    memset(o + n, 0, static_cast<size_t>(n_pad - n));
+  } else if (rid_dtype == 1) {
+    auto* o = static_cast<int16_t*>(rid_out);
+    for (int64_t i = 0; i < n; ++i) o[i] = static_cast<int16_t>(rid[i]);
+    memset(o + n, 0, static_cast<size_t>(n_pad - n) * 2);
+  } else {
+    auto* o = static_cast<int32_t*>(rid_out);
+    memcpy(o, rid, static_cast<size_t>(n) * 4);
+    memset(o + n, 0, static_cast<size_t>(n_pad - n) * 4);
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t center = static_cast<uint32_t>(pos[i]) + half;
+    uint32_t len = lengths[rid[i]];
+    if (center > len) center = len;
+    bin_out[i] = static_cast<uint16_t>(center / bin_width);
+  }
+  memset(bin_out + n, 0, static_cast<size_t>(n_pad - n) * 2);
   s->consumed += n;
   s->compact();
 }

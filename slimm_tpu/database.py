@@ -8,6 +8,15 @@ implements a byte-compatible reader/writer for that format (so existing .sldb
 files interoperate), the slimm_build construction pipeline
 (slimm_build.cpp:151-346), a fast columnar .npz cache, and the dense-tensor
 form the TPU engine consumes (lineage matrix + taxid remap).
+
+Validation scope: the reference's SeqAn/cereal submodules are EMPTY in this
+checkout (.gitmodules pins them, include/cereal has no sources) and the
+environment has no network, so the reference binary cannot be built and no
+reference-written .sldb exists to diff against.  The layout is instead locked
+three ways: (a) against the cereal 1.x BinaryOutputArchive spec, (b) by an
+independent C++ reimplementation round-trip (native/slimm_native.cpp
+stpu_sldb_* — written from the cereal spec, not from this module), and
+(c) by committed golden bytes (tests/test_database.py).
 """
 
 from __future__ import annotations

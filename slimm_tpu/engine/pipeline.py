@@ -1148,29 +1148,6 @@ def profile_file(options: ProfileOptions, db: SlimmDatabase, path: str,
         max_targets=batch.max_targets)
 
 
-def _split_read_complete(read_id, rid, pos, cap):
-    """Split one decoded chunk into <= cap-target pieces cut at read
-    boundaries (reads never span pieces).  Returns None if a single read
-    exceeds cap (callers fall back to the whole-file path)."""
-    n = len(read_id)
-    if n <= cap:
-        return [(read_id, rid, pos)]
-    starts = np.flatnonzero(np.r_[True, read_id[1:] != read_id[:-1]])
-    out = []
-    lo = 0
-    while lo < n:
-        if n - lo <= cap:
-            hi = n
-        else:
-            j = int(np.searchsorted(starts, lo + cap, side="right")) - 1
-            hi = int(starts[j])
-            if hi <= lo:
-                return None  # one read alone exceeds cap
-        out.append((read_id[lo:hi], rid[lo:hi], pos[lo:hi]))
-        lo = hi
-    return out
-
-
 def _bucket_pieces(k):
     b = 1
     while b < k:
@@ -1207,35 +1184,42 @@ def _profile_file_overlap(options: ProfileOptions, db: SlimmDatabase,
     d_ends = jnp.asarray(geom["bin_ends"])
     d_lin = jnp.asarray(dense.lineage)
 
-    # Synchronous chunk loop: the C++ decoder is ALREADY pipelined (its
-    # tokenizer thread runs ahead behind a bounded queue), so next_chunk
-    # blocks only on the consumer half; the pack + async upload below
-    # overlap the tokenizer's decode of the next window.  A python-side
-    # producer thread here measured SLOWER on the 2-vCPU host (three
-    # compute threads contending for two cores).
+    # Synchronous piece loop: the C++ decoder is ALREADY pipelined (its
+    # tokenizer thread runs ahead behind a bounded queue), so next_piece_v2
+    # blocks only on the consumer half; the async upload below overlaps
+    # the tokenizer's decode of the next window.  A python-side producer
+    # thread here measured SLOWER on the 2-vCPU host (three compute
+    # threads contending for two cores).  The v2 transfer encode (boundary
+    # bitpack, rid cast, center binning) happens INSIDE the C++ take —
+    # per-record numpy work on the host serialized against the decode and
+    # cost ~0.1 s/M records before it moved native.
+    if n_contigs <= np.iinfo(np.uint8).max:
+        rid_dtype = np.uint8
+    elif n_contigs <= np.iinfo(np.int16).max:
+        rid_dtype = np.int16
+    else:
+        rid_dtype = np.int32
     bnds, rids, bins, nvs = [], [], [], []
     while True:
         try:
-            c = sr.next_chunk(cap)
+            piece = sr.next_piece_v2(n_s, n_s, geom["lengths_u32"],
+                                     geom["half"], geom["bin_width"],
+                                     rid_dtype)
         except ValueError as e:
             if "not qname-grouped" in str(e):
                 return None
             raise
-        if c is None:
+        except OverflowError:
+            return None  # one read's targets exceed a piece; fall back
+        if piece is None:
             break
-        pieces = _split_read_complete(c[0], c[1], c[2], n_s)
-        if pieces is None:
-            return None
-        for (r, i, p) in pieces:
-            bnd, rid_p, bin_p, nv = pack_records_compact2(
-                r, i, p, n_s, n_contigs, geom["lengths_u32"],
-                geom["half"], geom["bin_width"])
-            # uploads are async enqueues; the fused dispatch below stays
-            # a single round trip
-            bnds.append(jnp.asarray(bnd))
-            rids.append(jnp.asarray(rid_p))
-            bins.append(jnp.asarray(bin_p))
-            nvs.append(int(nv))
+        bnd, rid_p, bin_p, nv = piece
+        # uploads are async enqueues; the fused dispatch below stays a
+        # single round trip
+        bnds.append(jnp.asarray(bnd))
+        rids.append(jnp.asarray(rid_p))
+        bins.append(jnp.asarray(bin_p))
+        nvs.append(int(nv))
 
     n_reads, hits_count, _ = sr.totals()
     warn = sr.warning()

@@ -77,6 +77,17 @@ def load_library():
     lib.stpu_stream_take.restype = None
     lib.stpu_stream_take.argtypes = [ctypes.c_void_p, ctypes.c_int64] + [
         np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")] * 3
+    lib.stpu_stream_next_piece.restype = ctypes.c_int64
+    lib.stpu_stream_next_piece.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.stpu_stream_take_v2.restype = None
+    lib.stpu_stream_take_v2.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+        ctypes.c_uint32, ctypes.c_uint32,
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        ctypes.c_void_p, ctypes.c_int,
+        np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+    ]
     lib.stpu_stream_close.restype = None
     lib.stpu_stream_close.argtypes = [ctypes.c_void_p]
     lib.stpu_baseline_profile.restype = ctypes.c_double
@@ -230,6 +241,38 @@ class NativeStreamReader:
 
     def warning(self) -> str:
         return self._lib.stpu_warning(self._f).decode()
+
+    def next_piece_v2(self, cap: int, n_pad: int, lengths_u32, half: int,
+                      bin_width: int, rid_dtype):
+        """One read-complete piece of <= cap targets, already in the v2
+        compact transfer format, encoded inside the C++ decode pipeline:
+        (bitpacked boundaries uint8[n_pad/8], rid rid_dtype[n_pad], local
+        bin uint16[n_pad], n_valid).  None at EOF.  Raises ValueError on
+        decode errors / non-grouped input and OverflowError when a single
+        read's targets exceed cap (callers fall back)."""
+        n = self._lib.stpu_stream_next_piece(self._h, cap)
+        if n == -1:
+            raise ValueError(
+                f"{self.path}: "
+                f"{self._lib.stpu_stream_error(self._h).decode()}")
+        if not self.grouped:
+            raise ValueError(
+                f"{self.path}: input is not qname-grouped; streaming "
+                "decode needs mapper output order (use the whole-file "
+                "decoder)")
+        if n == -2:
+            raise OverflowError("single read exceeds the piece cap")
+        if n == 0 and self.eof:
+            return None
+        bnd = np.empty(n_pad // 8, np.uint8)
+        rid_p = np.empty(n_pad, rid_dtype)
+        bin_p = np.empty(n_pad, np.uint16)
+        code = {np.uint8: 0, np.int16: 1, np.int32: 2}[rid_dtype]
+        self._lib.stpu_stream_take_v2(
+            self._h, n, n_pad, np.ascontiguousarray(lengths_u32, np.uint32),
+            np.uint32(half), np.uint32(bin_width), bnd,
+            rid_p.ctypes.data_as(ctypes.c_void_p), code, bin_p)
+        return bnd, rid_p, bin_p, np.int32(n)
 
     def next_chunk(self, min_targets: int):
         """(read_id, rid, pos) int32 arrays of >= min_targets targets cut at
