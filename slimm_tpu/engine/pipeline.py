@@ -78,6 +78,10 @@ MAX_WINDOW = 4
 # map (8 MB int8); larger DBs return record-sized pair arrays instead.
 PAIR_DOM_MAX = 8 * 1024 * 1024
 
+# The v2 compact transfer carries the local bin as uint16; contigs binned
+# finer than this fall back to int32-position transfer (v1).
+V2_MAX_BIN = int(np.iinfo(np.uint16).max)
+
 
 def _bucket(n: int, quantum: int = 8192) -> int:
     """Round up to a padding bucket (limits jit recompiles across files).
@@ -1002,7 +1006,7 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
         # one bitpacked fetch replaces two record-sized fetches
         pair_mode = ("hist" if dense.n_dense * n_contigs <= PAIR_DOM_MAX
                      else "arrays")
-        if int(st.nbins.max()) <= np.iinfo(np.uint16).max:
+        if int(st.nbins.max()) <= V2_MAX_BIN:
             # v2: host-computed uint16 bins, ~4.1 B/record on the tunnel
             bnd, rid_p, bin_p, n_valid = pack_records_compact2(
                 read_id, rid, pos, n_pad, n_contigs, lengths_u32, half, bw)
@@ -1172,7 +1176,7 @@ def _profile_file_overlap(options: ProfileOptions, db: SlimmDatabase,
 
     st, dense, geom = _stream_init(options, db, sr)
     n_contigs = geom["n_contigs"]
-    if int(st.nbins.max() if len(st.nbins) else 0) > np.iinfo(np.uint16).max:
+    if int(st.nbins.max() if len(st.nbins) else 0) > V2_MAX_BIN:
         return None  # v2 bins don't fit; standard path re-decodes
     timer = PhaseTimer(enabled=engine.phase_log)
     timer.start("Analysing alignments, reads and references ....... ")
@@ -1278,16 +1282,23 @@ def _profile_file_overlap(options: ProfileOptions, db: SlimmDatabase,
 
 @partial(jax.jit, donate_argnums=(0, 1, 2),
          static_argnames=("n_contigs", "total_bins_pad", "k_steps",
-                          "window", "use_pallas"))
+                          "window", "use_pallas", "pos_is_bin"))
 def _pass_a_chunk_jit(cov, uniq_cov, um, bnd, rid_small, pos, n_valid,
                       lengths_u32, bin_offset, half, bin_width, *, n_contigs,
-                      total_bins_pad, k_steps, window, use_pallas):
+                      total_bins_pad, k_steps, window, use_pallas,
+                      pos_is_bin=False):
     read_id = _unpack_read_groups(bnd, pos.shape[0], n_valid)
-    a = _pass_a_local(read_id, rid_small.astype(jnp.int32), pos,
+    rid = rid_small.astype(jnp.int32)
+    t_gbin = None
+    if pos_is_bin:  # v2 chunks carry the decoder-computed local bin
+        t_gbin = (bin_offset[jnp.clip(rid, 0, n_contigs - 1)]
+                  + pos.astype(jnp.int32))
+    a = _pass_a_local(read_id, rid, pos,
                       lengths_u32, bin_offset, half,
                       bin_width, n_contigs=n_contigs,
                       total_bins_pad=total_bins_pad, dedup_window=0,
-                      k_steps=k_steps, window=window, use_pallas=use_pallas)
+                      k_steps=k_steps, window=window, use_pallas=use_pallas,
+                      t_gbin=t_gbin)
     return cov + a["cov"], uniq_cov + a["uniq_cov"], um + a["uniq_matches"]
 
 
@@ -1310,19 +1321,24 @@ def _cutoffs_jit(cov, uniq_cov, bin_offset, bin_ends, q):
 @partial(jax.jit, donate_argnums=(0, 1, 2, 3),
          static_argnames=("n_contigs", "total_bins_pad", "n_dense",
                           "k_steps", "window", "use_pallas",
-                          "emit_coverage", "pair_mode"))
+                          "emit_coverage", "pair_mode", "pos_is_bin"))
 def _pass_b_chunk_jit(u2_acc, taxon, um2, pair_acc, bnd, rid_small, pos,
                       n_valid, valid_mask,
                       lineage, lengths_u32, bin_offset, half, bin_width, *,
                       n_contigs, total_bins_pad, n_dense, k_steps, window,
-                      use_pallas, emit_coverage, pair_mode):
+                      use_pallas, emit_coverage, pair_mode,
+                      pos_is_bin=False):
     read_id = _unpack_read_groups(bnd, pos.shape[0], n_valid)
     rid = rid_small.astype(jnp.int32)
     rid_c = jnp.clip(rid, 0, n_contigs - 1)
-    center = jnp.minimum(pos.astype(jnp.uint32) + half.astype(jnp.uint32),
-                         lengths_u32[rid_c])
-    t_gbin = bin_offset[rid_c] + (
-        center // bin_width.astype(jnp.uint32)).astype(jnp.int32)
+    if pos_is_bin:  # v2 chunks carry the decoder-computed local bin
+        t_gbin = bin_offset[rid_c] + pos.astype(jnp.int32)
+    else:
+        center = jnp.minimum(
+            pos.astype(jnp.uint32) + half.astype(jnp.uint32),
+            lengths_u32[rid_c])
+        t_gbin = bin_offset[rid_c] + (
+            center // bin_width.astype(jnp.uint32)).astype(jnp.int32)
     nondup = read_id >= 0  # native stream decoder pre-dedups
     b = _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
                       n_contigs=n_contigs, total_bins_pad=total_bins_pad,
@@ -1440,19 +1456,15 @@ def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
     timer = PhaseTimer(enabled=engine.phase_log)
 
     timer.start("Streaming alignment chunks ....................... ")
-    opened = _open_stream(path, engine, chunk_targets)
-    if opened is None:
+    from ..io import native
+    if not native.available():
         return profile_file(options, db, path, engine=engine)
-    sr, next_chunk, th = opened
-
-    chunks: list = []
+    bw0 = options.bin_width
     try:
-        first = next_chunk()
-    except ValueError as e:
-        if "not qname-grouped" in str(e):
-            th.join()
-            return profile_file(options, db, path, engine=engine)
-        raise
+        sr = native.NativeStreamReader(path,
+                                       hash_names=engine.hash_read_names)
+    except ValueError:
+        return profile_file(options, db, path, engine=engine)
 
     use_pallas = jax.devices()[0].platform != "cpu"
     st, dense, geom = _stream_init(options, db, sr)
@@ -1467,28 +1479,92 @@ def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
     q = geom["q"]
     lineage = jnp.asarray(dense.lineage)
 
-    def pack_chunk(c):
-        read_id, rid, pos = c
-        n_pad = _bucket(len(read_id), engine.batch_pad)
-        bnd, rid_p, pos_p, n_valid = pack_records_compact(
-            read_id, rid, pos, n_pad, n_contigs)
-        _, k_steps, window = seg_plan(read_id)
-        return bnd, rid_p, pos_p, n_valid, k_steps, window
+    # v2 chunk mode: the C++ decoder emits pieces pre-encoded in the v2
+    # compact format (bitpacked boundaries + small rid + uint16 local bin
+    # ~ 4.1 B/record vs the v1 host pack's 6.1) whenever every contig's
+    # bin count fits uint16; its tokenizer thread runs ahead, so no python
+    # producer thread is needed.  v1 (host pack_records_compact, int32
+    # positions) remains for bin tables past uint16.
+    pos_is_bin = (int(st.nbins.max() if len(st.nbins) else 0)
+                  <= V2_MAX_BIN)
+    if pos_is_bin:
+        n_pad = _bucket(chunk_targets, engine.batch_pad)  # one piece shape
+        if n_contigs <= np.iinfo(np.uint8).max:
+            rid_dtype = np.uint8
+        elif n_contigs <= np.iinfo(np.int16).max:
+            rid_dtype = np.int16
+        else:
+            rid_dtype = np.int32
+        th = None
+
+        def next_packed():
+            piece = sr.next_piece_v2(n_pad, n_pad, geom["lengths_u32"],
+                                     half, bw, rid_dtype)
+            if piece is None:
+                return None
+            bnd, rid_p, bin_p, n_valid = piece
+            k_steps, window = plan_from_max_run(max(sr.max_targets, 1))
+            return bnd, rid_p, bin_p, n_valid, k_steps, window
+    else:
+        # decode-ahead producer thread (the v1 host pack is python work
+        # that would otherwise serialize against the dispatch enqueues)
+        import queue
+        import threading
+
+        feed: queue.Queue = queue.Queue(maxsize=2)
+
+        def _producer():
+            try:
+                while True:
+                    c = sr.next_chunk(chunk_targets)
+                    feed.put(("ok", c))
+                    if c is None:
+                        return
+            except Exception as e:  # non-grouped input or decode error
+                feed.put(("err", e))
+
+        th = threading.Thread(target=_producer, daemon=True)
+        th.start()
+
+        def next_packed():
+            kind, val = feed.get()
+            if kind == "err":
+                raise val
+            if val is None:
+                return None
+            read_id, rid, pos = val
+            np_pad = _bucket(len(read_id), engine.batch_pad)
+            bnd, rid_p, pos_p, n_valid = pack_records_compact(
+                read_id, rid, pos, np_pad, n_contigs)
+            _, k_steps, window = seg_plan(read_id)
+            return bnd, rid_p, pos_p, n_valid, k_steps, window
 
     # ---- pass A: accumulate coverage across chunk dispatches ----
-    # chunks travel in the compact transfer format (~6.1 B/record:
-    # bitpacked read boundaries + int16 contig ids + int32 positions; the
-    # tunnel moves ~33 MB/s H2D so transfer bytes bound throughput).
     # Uploaded chunk arrays stay device-resident within a byte budget so
     # pass B skips the host->device re-transfer (the dominant streaming
-    # cost); past the budget, pass B re-uploads from the host copies
+    # cost; the tunnel moves ~33 MB/s H2D); past the budget, pass B
+    # re-uploads from the host copies.
+    chunks: list = []
     budget = engine.stream_device_cache_bytes
     cov = jnp.zeros(total_bins_pad, jnp.int32)
     uniq_cov = jnp.zeros(total_bins_pad, jnp.int32)
     um = jnp.int32(0)
-    c = first
-    while c is not None:
-        bnd, rid_p, pos_p, n_valid, k_steps, window = pack_chunk(c)
+    while True:
+        try:
+            packed = next_packed()
+        except ValueError as e:
+            if "not qname-grouped" in str(e):
+                if th is not None:
+                    th.join()
+                options.bin_width = bw0  # undo _stream_init's auto default
+                return profile_file(options, db, path, engine=engine)
+            raise
+        except OverflowError:  # one read's targets exceed a v2 piece
+            options.bin_width = bw0
+            return profile_file(options, db, path, engine=engine)
+        if packed is None:
+            break
+        bnd, rid_p, pos_p, n_valid, k_steps, window = packed
         d = (jnp.asarray(bnd), jnp.asarray(rid_p), jnp.asarray(pos_p))
         nbytes = bnd.nbytes + rid_p.nbytes + pos_p.nbytes
         if budget >= nbytes:
@@ -1500,9 +1576,11 @@ def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
             cov, uniq_cov, um, d[0], d[1], d[2], n_valid,
             lengths_u32, bin_offset, half, bw,
             n_contigs=n_contigs, total_bins_pad=total_bins_pad,
-            k_steps=k_steps, window=window, use_pallas=use_pallas)
-        c = next_chunk()   # decode of chunk k+1 overlapped the dispatch
-    th.join()
+            k_steps=k_steps, window=window, use_pallas=use_pallas,
+            pos_is_bin=pos_is_bin)
+        # decode of chunk k+1 overlaps the dispatch just enqueued
+    if th is not None:
+        th.join()
     n_reads, hits_count, _ = sr.totals()
     warn = sr.warning()
     if warn:
@@ -1541,7 +1619,8 @@ def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
             bin_offset, half, bw, n_contigs=n_contigs,
             total_bins_pad=total_bins_pad, n_dense=dense.n_dense,
             k_steps=k_steps, window=window, use_pallas=use_pallas,
-            emit_coverage=emit, pair_mode=pair_mode)
+            emit_coverage=emit, pair_mode=pair_mode,
+            pos_is_bin=pos_is_bin)
         if pair_mode == "hist":
             u2_acc, taxon, um2, pair_acc = res
         else:

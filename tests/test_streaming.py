@@ -225,3 +225,25 @@ def test_streaming_non_grouped_falls_back(toy_dir, tmp_path):
         ProfileOptions(), copy.deepcopy(db), sam,
         engine=EngineOptions(phase_log=False), chunk_targets=64)
     assert_states_equal(st_w, st_s)
+
+
+def test_streaming_v1_int32_positions_matches(toy_dir, monkeypatch):
+    # bin tables past uint16 fall back to the v1 transfer (int32
+    # positions, host pack_records_compact, decode-ahead thread) — force
+    # it by shrinking the v2 gate and check bit-equality with both the
+    # whole-file path and the default v2 streaming
+    from slimm_tpu.engine import pipeline as P
+
+    db = build_toy_db(toy_dir)
+    st_w = profile_file(ProfileOptions(), copy.deepcopy(db),
+                        toy_dir.sam_path,
+                        engine=EngineOptions(phase_log=False))
+    st_v2 = profile_file_streaming(
+        ProfileOptions(), copy.deepcopy(db), toy_dir.sam_path,
+        engine=EngineOptions(phase_log=False), chunk_targets=512)
+    monkeypatch.setattr(P, "V2_MAX_BIN", 0)
+    st_v1 = profile_file_streaming(
+        ProfileOptions(), copy.deepcopy(db), toy_dir.sam_path,
+        engine=EngineOptions(phase_log=False), chunk_targets=512)
+    assert_states_equal(st_w, st_v1)
+    assert_states_equal(st_w, st_v2)
