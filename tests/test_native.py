@@ -145,3 +145,37 @@ def test_hash_read_names_engine_parity(toy_dir):
                                              hash_read_names=True))
     assert st_a.abundance_rows() == st_b.abundance_rows()
     assert st_a.taxon_id__read_count == st_b.taxon_id__read_count
+
+
+def test_stream_take_v2_matches_host_pack(toy_dir):
+    # the C++ v2 piece encoder (stpu_stream_take_v2) must produce byte-
+    # identical arrays to the host reference pack (pack_records_compact2):
+    # boundary bitmap, rid cast, uint32-wrap center binning, zero padding
+    from slimm_tpu.engine.pipeline import pack_records_compact2
+
+    whole = native.NativeAlignmentFile(toy_dir.sam_path).load()
+    af = native.NativeAlignmentFile(toy_dir.sam_path)
+    n_contigs = len(af.contig_names)
+    lengths = af.contig_lengths.astype(np.uint32)
+    half, bw = 50, 100
+    n = len(whole.read_id)
+    n_pad = -(-n // 2048) * 2048
+
+    # pack_records_compact2 picks the rid dtype from its n_contigs arg;
+    # these fake contig counts force each of the three casts in turn
+    for rid_dtype, fake_contigs in ((np.uint8, n_contigs),
+                                    (np.int16, 1000), (np.int32, 1 << 20)):
+        sr = native.NativeStreamReader(toy_dir.sam_path)
+        piece = sr.next_piece_v2(n_pad, n_pad, lengths, half, bw, rid_dtype)
+        bnd, rid_p, bin_p, nv = piece
+        assert rid_p.dtype == rid_dtype
+        ref = pack_records_compact2(
+            whole.read_id.astype(np.int32), whole.rid, whole.pos, n_pad,
+            fake_contigs, lengths, half, bw)
+        assert nv == ref[3] == n
+        np.testing.assert_array_equal(bnd, ref[0])
+        np.testing.assert_array_equal(rid_p.astype(np.int32),
+                                      ref[1].astype(np.int32))
+        np.testing.assert_array_equal(bin_p, ref[2])
+        assert sr.next_piece_v2(n_pad, n_pad, lengths, half, bw,
+                                rid_dtype) is None
