@@ -63,9 +63,12 @@ def make_workload(n_records, n_contigs, seed=0):
         for lvl in range(1, 8):
             lineage[c, lvl] = base + n_contigs + (c // (5 * lvl)) + 1000 * lvl
     n_dense = int(lineage.max()) + 1
+    sk_dense = np.unique(lineage[:, 7]).astype(np.int32)
+    sk_code = np.searchsorted(sk_dense, lineage[:, 7]).astype(np.int32)
     return dict(read_id=read_id, rid=rid, pos=pos,
                 n_reads=n_reads_target, lengths=lengths, lineage=lineage,
-                n_dense=n_dense, avg_read_len=avg_read_len)
+                n_dense=n_dense, avg_read_len=avg_read_len,
+                sk_code=sk_code, n_codes=8 + len(sk_dense))
 
 
 def bench_device(w, reps):
@@ -96,6 +99,7 @@ def bench_device(w, reps):
     d_off = jnp.asarray(bin_offset)
     d_ends = jnp.asarray(bin_ends)
     d_lineage = jnp.asarray(w["lineage"])
+    d_sk = jnp.asarray(w["sk_code"])
     half = np.int32(w["avg_read_len"] // 2)
     q = np.float32(0.95)
 
@@ -107,8 +111,10 @@ def bench_device(w, reps):
         # off): per-contig integers only, no bin-resolution fetch
         out = fused_profile(
             d_read, d_rid, d_pos, d_len, d_off, d_ends, half, bin_width,
-            d_lineage, q, n_contigs=n_contigs, total_bins_pad=total_bins_pad,
-            n_dense=w["n_dense"], dedup_window=max(1, window),
+            d_lineage, d_sk, q, n_contigs=n_contigs,
+            total_bins_pad=total_bins_pad,
+            n_dense=w["n_dense"], n_codes=w["n_codes"],
+            dedup_window=max(1, window),
             k_steps=k_steps, window=window, use_pallas=use_pallas,
             emit_coverage=False)
         return out["packed"]
@@ -142,10 +148,11 @@ def bench_device(w, reps):
             w["lengths"], half, bin_width)
         out = fused_profile_compact2(
             jnp.asarray(bnd), jnp.asarray(rid_p), jnp.asarray(bin_p),
-            n_valid, d_len, d_off, d_ends, half, bin_width, d_lineage, q,
-            n_contigs=n_contigs, total_bins_pad=total_bins_pad,
-            n_dense=w["n_dense"], dedup_window=0, k_steps=k_steps,
-            window=window, use_pallas=use_pallas, emit_coverage=False)
+            n_valid, d_len, d_off, d_ends, half, bin_width, d_lineage,
+            d_sk, q, n_contigs=n_contigs, total_bins_pad=total_bins_pad,
+            n_dense=w["n_dense"], n_codes=w["n_codes"], dedup_window=0,
+            k_steps=k_steps, window=window, use_pallas=use_pallas,
+            emit_coverage=False)
         return np.asarray(out["packed"])
 
     step_cold()  # warmup/compile (the raw workload is pre-dedup'd enough:

@@ -52,15 +52,15 @@ def main():
     total_bins_pad = -(-int(nbins.sum()) // 1024) * 1024
     _, k_steps, window = seg_plan(w["read_id"])
     kw = dict(n_contigs=n_contigs, total_bins_pad=total_bins_pad,
-              n_dense=w["n_dense"], dedup_window=max(1, window),
-              k_steps=k_steps, window=window)
+              n_dense=w["n_dense"], n_codes=w["n_codes"],
+              dedup_window=max(1, window), k_steps=k_steps, window=window)
 
     results = {}
     for s in shard_list:
         runner = ShardedRunner(num_shards=s)
         args = (w["read_id"], w["rid"], w["pos"], w["lengths"],
                 bin_offset, bin_ends, np.int32(w["avg_read_len"] // 2),
-                bin_width, w["lineage"], np.float32(0.95))
+                bin_width, w["lineage"], w["sk_code"], np.float32(0.95))
 
         def run():
             out = runner.fused(*args, **kw)

@@ -282,16 +282,44 @@ class DenseTaxonomy:
     dense_to_tid : (n_dense,) int64 — dense id → NCBI taxon id (dense 0 == 0)
     tid_rank     : (n_dense,) int32 — rank per dense id (default 0 like the
                    reference's operator[] insert)
+    sk_dense     : (S,) int32 — the distinct superkingdom-level dense ids
+                   (sorted unique of lineage[:, 7]); S is tiny (bacteria/
+                   archaea/viruses/... + 0)
+    sk_code      : (n_contigs,) int32 — index of lineage[r, 7] in sk_dense
+
+    The sk tables exist for the compact (lca, contig) pair channel: an LCA
+    value is always lineage[max_rid][L] for the read's first agreeing level
+    L, so when some level agrees the pair is recoverable from (contig,
+    level) alone; when NO level agrees (reference slimm.hpp:516-531 falls
+    through and returns the last-inserted level-7 taxid) the value is one
+    of the S superkingdom ids — the presence map needs only 8 + S codes
+    per contig instead of an (n_dense x n_contigs) domain.
     """
 
     lineage: np.ndarray
     dense_to_tid: np.ndarray
     tid_rank: np.ndarray
     accessions: list[str]
+    sk_dense: np.ndarray = None
+    sk_code: np.ndarray = None
+
+    def __post_init__(self):
+        if self.sk_dense is None:
+            lvl7 = (self.lineage[:, 7] if len(self.lineage)
+                    else np.zeros(0, np.int32))
+            self.sk_dense = np.unique(lvl7).astype(np.int32)
+            self.sk_code = np.searchsorted(self.sk_dense, lvl7).astype(
+                np.int32)
 
     @property
     def n_dense(self) -> int:
         return len(self.dense_to_tid)
+
+    @property
+    def n_pair_codes(self) -> int:
+        """Codes per contig in the pair presence map: 8 levels + the
+        no-agreeing-level superkingdom codes."""
+        return 8 + len(self.sk_dense)
 
     def dense_of(self, tid: int) -> int:
         idx = np.searchsorted(self.dense_to_tid, tid)

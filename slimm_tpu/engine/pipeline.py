@@ -74,10 +74,6 @@ from ..utils.timer import PhaseTimer
 # host dedup, which handles arbitrary duplicate spans).
 MAX_WINDOW = 4
 
-# Max (n_dense x n_contigs) domain for the compact children-pair presence
-# map (8 MB int8); larger DBs return record-sized pair arrays instead.
-PAIR_DOM_MAX = 8 * 1024 * 1024
-
 # The v2 compact transfer carries the local bin as uint16; contigs binned
 # finer than this fall back to int32-position transfer (v1).
 V2_MAX_BIN = int(np.iinfo(np.uint16).max)
@@ -422,10 +418,10 @@ def _lineage_rows(lineage, ridx, n_contigs, n_dense):
     return lineage[jnp.clip(ridx, 0, n_contigs - 1)]
 
 
-def _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
-                  *, n_contigs, total_bins_pad, n_dense, k_steps, window,
-                  use_pallas=False, emit_coverage=True, bin_lo=None,
-                  hist_bins=None, pair_mode="arrays"):
+def _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage, sk_code,
+                  *, n_contigs, total_bins_pad, n_dense, n_codes, k_steps,
+                  window, use_pallas=False, emit_coverage=True, bin_lo=None,
+                  hist_bins=None):
     """Filtered re-dedup + vectorized LCA (slimm.hpp:351-392, 516-557).
 
     emit_coverage=True: one fused bin-domain scatter covers both the
@@ -434,6 +430,9 @@ def _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
     counts, so the bin-domain histogram is skipped entirely and one small
     fused histogram over [contigs | dense taxids] replaces it — at
     full-RefSeq bin counts that removes pass B's largest op.
+
+    sk_code (int32[n_contigs]) + n_codes (static, = 8 + S) parameterize the
+    compact (lca, contig) pair channel — see `pair_levels` below.
     """
     rid_c = jnp.clip(rid, 0, n_contigs - 1)
     tmask = nondup & valid_mask[rid_c]
@@ -534,25 +533,32 @@ def _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
         out["u2_counts"] = combined[:n_contigs]
         out["taxon_counts"] = combined[cp:cp + n_dense]
 
-    # (lca, contig) pairs for children sets; -1 marks padding
-    lca_b = _backfill_from_ends(read_id, jnp.where(multi_end, lca_end, -1),
-                                end_mask, jnp.int32(-1),
-                                k_steps=k_steps, window=window)
+    # (lca, contig) pairs for the children sets, as a (contig x level-code)
+    # presence map.  The LCA is lineage[max_rid][L] at the read's first
+    # agreeing level L, and EVERY valid target r of the read agrees there:
+    # lineage[r][L] == lca.  So the pair (lca, r) is recoverable on the
+    # host from (r, L) alone — marking bit L of contig r suffices.  The
+    # corner where NO level agrees (the reference's get_lca falls through
+    # its loop and returns the last-inserted level-7 value,
+    # slimm.hpp:516-531 — i.e. lineage[max_rid][7], which need NOT equal
+    # lineage[r][7]) uses codes 8..8+S-1: the lca is then one of the S
+    # distinct superkingdom-level ids (sk_code[max_rid] picks which).
+    # Domain is n_contigs * (8 + S) BITS on the fetch — independent of
+    # n_dense, so full-RefSeq DBs fetch kilobytes where an
+    # (n_dense x n_contigs) map would fetch megabytes and record-sized
+    # arrays (the old fallback) fetched ~8 B/record over a ~40 MB/s tunnel.
+    no_agree = z == 0
+    code_end = jnp.where(no_agree,
+                         8 + sk_code[jnp.clip(rid_mx, 0, n_contigs - 1)],
+                         first_level)
+    code_b = _backfill_from_ends(read_id, jnp.where(multi_end, code_end, -1),
+                                 end_mask, jnp.int32(-1),
+                                 k_steps=k_steps, window=window)
     t_multi = tmask & (total > 1)
-    if pair_mode == "hist":
-        # compact presence map over (dense lca x contig): ONE small fetch
-        # instead of two record-sized arrays (the axon tunnel fetch runs at
-        # ~40 MB/s, so fetch bytes are the host-tail bottleneck); callers
-        # accumulate/psum the int8 map on device, bitpack it at the output
-        # boundary (_pack_bits_u8) and flatnonzero it into the children
-        # sets.  Shape is the PADDED domain (multiple of 1024 → of 8).
-        dom = -(-(n_dense * n_contigs) // 1024) * 1024
-        pidx = jnp.clip(lca_b, 0, n_dense - 1) * n_contigs + rid_c
-        ph = _hist1(pidx, t_multi, dom, use_pallas)
-        out["pair_hist"] = (ph > 0).astype(jnp.int8)
-    else:
-        out["pair_lca"] = jnp.where(t_multi, lca_b, -1)
-        out["pair_rid"] = jnp.where(t_multi, rid, -1)
+    pdom = -(-(n_contigs * n_codes) // 1024) * 1024
+    pidx = rid_c * n_codes + jnp.clip(code_b, 0, n_codes - 1)
+    ph = _hist1(pidx, t_multi, pdom, use_pallas)
+    out["pair_levels"] = (ph > 0).astype(jnp.int8)
     out["uniq_matches2"] = jnp.sum((end_mask & (cnt == 1)).astype(jnp.int32))
     return out
 
@@ -562,18 +568,18 @@ _N_SCALARS = 8
 
 
 def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
-                half, bin_width, lineage, q, *, n_contigs, total_bins_pad,
-                n_dense, dedup_window, k_steps, window, use_pallas=False,
-                psum_axis=None, emit_coverage=True, model_axis=None,
-                model_shards=1, pair_mode="arrays", t_gbin=None):
+                half, bin_width, lineage, sk_code, q, *, n_contigs,
+                total_bins_pad, n_dense, n_codes, dedup_window, k_steps,
+                window, use_pallas=False, psum_axis=None, emit_coverage=True,
+                model_axis=None, model_shards=1, t_gbin=None):
     """The whole per-file profile in one traced computation.
 
-    Returns dict with `packed` (int32[6*C + 8 + n_dense]: reads_count,
-    uniq_reads_count, nz_cov, nz_uniq, uniq_reads_count2, valid_mask,
-    scalars [uniq_matches, uniq_matches2, cc<bitcast>, ucc<bitcast>, ...],
-    taxon_counts) plus (lca, contig) pair arrays, and the full histograms
-    when emit_coverage (needed for -ro/-co reports; the abundance path
-    needs only the packed per-contig integers).
+    Returns dict with `packed` (int32[6*C + 8 + n_dense + pair-words]:
+    reads_count, uniq_reads_count, nz_cov, nz_uniq, uniq_reads_count2,
+    valid_mask, scalars [uniq_matches, uniq_matches2, cc<bitcast>,
+    ucc<bitcast>, ...], taxon_counts, bitpacked (contig x code) pair
+    presence), and the full histograms when emit_coverage (needed for
+    -ro/-co reports; the abundance path needs only the packed integers).
     Under shard_map, psum_axis names the data axis for the exact integer
     merges; everything after the first psum is replicated computation.
     With model_axis (+ model_shards static), the bin axis is additionally
@@ -633,12 +639,11 @@ def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
     valid_mask = (rc > 0) & (covp >= cc) & (ucovp >= ucc)
 
     b = _pass_b_local(read_id, rid, a["t_gbin"], a["nondup"], valid_mask,
-                      lineage, n_contigs=n_contigs,
+                      lineage, sk_code, n_contigs=n_contigs,
                       total_bins_pad=total_bins_pad, n_dense=n_dense,
-                      k_steps=k_steps, window=window,
+                      n_codes=n_codes, k_steps=k_steps, window=window,
                       use_pallas=use_pallas, emit_coverage=emit_coverage,
-                      bin_lo=bin_lo, hist_bins=hist_bins,
-                      pair_mode=pair_mode)
+                      bin_lo=bin_lo, hist_bins=hist_bins)
     taxon_counts = b["taxon_counts"]
     uniq_matches2 = b["uniq_matches2"]
     if emit_coverage:
@@ -663,53 +668,47 @@ def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
         jax.lax.bitcast_convert_type(cc, jnp.int32),
         jax.lax.bitcast_convert_type(ucc, jnp.int32),
         jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)])
+    ph = b["pair_levels"]
+    if psum_axis is not None:
+        # per-shard 0/1 presence; int32 psum is exact at any shard count
+        # and any positive value marks the pair (the domain is tiny:
+        # n_contigs * n_codes slots)
+        ph = jax.lax.psum(ph.astype(jnp.int32), psum_axis)
+    # the bitpacked presence map rides INSIDE the packed vector: one fetch
+    # round trip for everything the host finalize needs
     packed = jnp.concatenate([rc, urc, nzc, nzu, u2,
                               valid_mask.astype(jnp.int32), scalars,
-                              taxon_counts])
-    out = dict()
-    if pair_mode == "hist":
-        ph = b["pair_hist"]
-        if psum_axis is not None:
-            # per-shard 0/1 presence; the psum stays exact in int8 below
-            # 127 data shards and any positive value marks the pair
-            ph = jax.lax.psum(ph, psum_axis)
-        # ride the bitpacked presence map inside the packed vector: one
-        # fetch round trip instead of two
-        packed = jnp.concatenate([packed, _pack_bits_words(ph > 0)])
-    else:
-        out["pair_lca"] = b["pair_lca"]
-        out["pair_rid"] = b["pair_rid"]
-    out["packed"] = packed
+                              taxon_counts, _pack_bits_words(ph > 0)])
+    out = dict(packed=packed)
     if emit_coverage:
         out.update(cov=cov, uniq_cov=uniq_cov, uniq_cov2=uniq_cov2)
     return out
 
 
 @partial(jax.jit, static_argnames=("n_contigs", "total_bins_pad", "n_dense",
-                                   "dedup_window", "k_steps", "window",
-                                   "use_pallas", "emit_coverage",
-                                   "pair_mode"))
+                                   "n_codes", "dedup_window", "k_steps",
+                                   "window", "use_pallas", "emit_coverage"))
 def fused_profile(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
-                  half, bin_width, lineage, q, *, n_contigs, total_bins_pad,
-                  n_dense, dedup_window, k_steps, window, use_pallas=False,
-                  emit_coverage=True, pair_mode="arrays"):
+                  half, bin_width, lineage, sk_code, q, *, n_contigs,
+                  total_bins_pad, n_dense, n_codes, dedup_window, k_steps,
+                  window, use_pallas=False, emit_coverage=True):
     return _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
-                       half, bin_width, lineage, q, n_contigs=n_contigs,
-                       total_bins_pad=total_bins_pad, n_dense=n_dense,
+                       half, bin_width, lineage, sk_code, q,
+                       n_contigs=n_contigs, total_bins_pad=total_bins_pad,
+                       n_dense=n_dense, n_codes=n_codes,
                        dedup_window=dedup_window, k_steps=k_steps,
                        window=window, use_pallas=use_pallas,
-                       emit_coverage=emit_coverage, pair_mode=pair_mode)
+                       emit_coverage=emit_coverage)
 
 
 @partial(jax.jit, static_argnames=("n_contigs", "total_bins_pad", "n_dense",
-                                   "dedup_window", "k_steps", "window",
-                                   "use_pallas", "emit_coverage",
-                                   "pair_mode"))
+                                   "n_codes", "dedup_window", "k_steps",
+                                   "window", "use_pallas", "emit_coverage"))
 def fused_profile_compact(bnd_packed, rid_small, pos, n_valid, lengths_u32,
-                          bin_offset, bin_ends, half, bin_width, lineage, q,
-                          *, n_contigs, total_bins_pad, n_dense, dedup_window,
-                          k_steps, window, use_pallas=False,
-                          emit_coverage=True, pair_mode="arrays"):
+                          bin_offset, bin_ends, half, bin_width, lineage,
+                          sk_code, q, *, n_contigs, total_bins_pad, n_dense,
+                          n_codes, dedup_window, k_steps, window,
+                          use_pallas=False, emit_coverage=True):
     """fused_profile with a compact host->device record format: a bitpacked
     read-boundary mask (1 bit/record) + int16 contig ids (int32 past 32767
     contigs) + int32 positions — ~6.1 B/record instead of 12.  The tunnel
@@ -720,22 +719,21 @@ def fused_profile_compact(bnd_packed, rid_small, pos, n_valid, lengths_u32,
     read_id = _unpack_read_groups(bnd_packed, n_pad, n_valid)
     return _fused_core(read_id, rid_small.astype(jnp.int32), pos,
                        lengths_u32, bin_offset, bin_ends, half, bin_width,
-                       lineage, q, n_contigs=n_contigs,
+                       lineage, sk_code, q, n_contigs=n_contigs,
                        total_bins_pad=total_bins_pad, n_dense=n_dense,
-                       dedup_window=dedup_window, k_steps=k_steps,
-                       window=window, use_pallas=use_pallas,
-                       emit_coverage=emit_coverage, pair_mode=pair_mode)
+                       n_codes=n_codes, dedup_window=dedup_window,
+                       k_steps=k_steps, window=window, use_pallas=use_pallas,
+                       emit_coverage=emit_coverage)
 
 
 @partial(jax.jit, static_argnames=("n_contigs", "total_bins_pad", "n_dense",
-                                   "dedup_window", "k_steps", "window",
-                                   "use_pallas", "emit_coverage",
-                                   "pair_mode"))
+                                   "n_codes", "dedup_window", "k_steps",
+                                   "window", "use_pallas", "emit_coverage"))
 def fused_profile_compact2(bnd_packed, rid_small, lbin, n_valid, lengths_u32,
-                           bin_offset, bin_ends, half, bin_width, lineage, q,
-                           *, n_contigs, total_bins_pad, n_dense,
-                           dedup_window, k_steps, window, use_pallas=False,
-                           emit_coverage=True, pair_mode="arrays"):
+                           bin_offset, bin_ends, half, bin_width, lineage,
+                           sk_code, q, *, n_contigs, total_bins_pad, n_dense,
+                           n_codes, dedup_window, k_steps, window,
+                           use_pallas=False, emit_coverage=True):
     """fused_profile over the v2 compact transfer: bitpacked read
     boundaries + int16 contig ids + uint16 HOST-COMPUTED bin indices
     (~4.1 B/record vs ~6.1 for v1).  The center/bin math is exact integer
@@ -747,23 +745,22 @@ def fused_profile_compact2(bnd_packed, rid_small, lbin, n_valid, lengths_u32,
     t_gbin = (bin_offset[jnp.clip(rid, 0, n_contigs - 1)]
               + lbin.astype(jnp.int32))
     return _fused_core(read_id, rid, None, lengths_u32, bin_offset,
-                       bin_ends, half, bin_width, lineage, q,
+                       bin_ends, half, bin_width, lineage, sk_code, q,
                        n_contigs=n_contigs, total_bins_pad=total_bins_pad,
-                       n_dense=n_dense, dedup_window=dedup_window,
-                       k_steps=k_steps, window=window, use_pallas=use_pallas,
-                       emit_coverage=emit_coverage, pair_mode=pair_mode,
-                       t_gbin=t_gbin)
+                       n_dense=n_dense, n_codes=n_codes,
+                       dedup_window=dedup_window, k_steps=k_steps,
+                       window=window, use_pallas=use_pallas,
+                       emit_coverage=emit_coverage, t_gbin=t_gbin)
 
 
 @partial(jax.jit, static_argnames=("n_contigs", "total_bins_pad", "n_dense",
-                                   "dedup_window", "k_steps", "window",
-                                   "use_pallas", "emit_coverage",
-                                   "pair_mode"))
+                                   "n_codes", "dedup_window", "k_steps",
+                                   "window", "use_pallas", "emit_coverage"))
 def fused_profile_pieces(bnds, rids, lbins, n_valids, lengths_u32,
-                         bin_offset, bin_ends, half, bin_width, lineage, q,
-                         *, n_contigs, total_bins_pad, n_dense, dedup_window,
-                         k_steps, window, use_pallas=False,
-                         emit_coverage=True, pair_mode="arrays"):
+                         bin_offset, bin_ends, half, bin_width, lineage,
+                         sk_code, q, *, n_contigs, total_bins_pad, n_dense,
+                         n_codes, dedup_window, k_steps, window,
+                         use_pallas=False, emit_coverage=True):
     """One fused dispatch over K equally-padded v2 pieces that were
     uploaded individually WHILE the file was still decoding (the overlap
     path): pieces concatenate on device, per-piece valid prefixes become
@@ -783,12 +780,12 @@ def fused_profile_pieces(bnds, rids, lbins, n_valids, lengths_u32,
     lbin = jnp.concatenate(lbins).astype(jnp.int32)
     t_gbin = bin_offset[jnp.clip(rid, 0, n_contigs - 1)] + lbin
     return _fused_core(read_id, rid, None, lengths_u32, bin_offset,
-                       bin_ends, half, bin_width, lineage, q,
+                       bin_ends, half, bin_width, lineage, sk_code, q,
                        n_contigs=n_contigs, total_bins_pad=total_bins_pad,
-                       n_dense=n_dense, dedup_window=dedup_window,
-                       k_steps=k_steps, window=window, use_pallas=use_pallas,
-                       emit_coverage=emit_coverage, pair_mode=pair_mode,
-                       t_gbin=t_gbin)
+                       n_dense=n_dense, n_codes=n_codes,
+                       dedup_window=dedup_window, k_steps=k_steps,
+                       window=window, use_pallas=use_pallas,
+                       emit_coverage=emit_coverage, t_gbin=t_gbin)
 
 
 def pack_records_compact2(read_id, rid, pos, n_pad, n_contigs, lengths_u32,
@@ -988,8 +985,8 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
     q = np.float32(options.cov_cut_off)
 
     kw = dict(n_contigs=n_contigs, total_bins_pad=total_bins_pad,
-              n_dense=dense.n_dense, dedup_window=dedup_window,
-              k_steps=k_steps, window=window)
+              n_dense=dense.n_dense, n_codes=dense.n_pair_codes,
+              dedup_window=dedup_window, k_steps=k_steps, window=window)
     if sharded_runner is not None:
         def pad(a, fill):
             out = np.full(n_pad, fill, np.int32)
@@ -999,13 +996,9 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
         out = sharded_runner.fused(pad(read_id, -1), pad(rid, 0),
                                    pad(pos, 0), lengths_u32,
                                    bin_offset, bin_ends, half, bw,
-                                   dense.lineage, q, **kw)
+                                   dense.lineage, dense.sk_code, q, **kw)
     else:
         use_pallas = jax.devices()[0].platform != "cpu"
-        # compact pair output when the (lca x contig) domain is small:
-        # one bitpacked fetch replaces two record-sized fetches
-        pair_mode = ("hist" if dense.n_dense * n_contigs <= PAIR_DOM_MAX
-                     else "arrays")
         if int(st.nbins.max()) <= V2_MAX_BIN:
             # v2: host-computed uint16 bins, ~4.1 B/record on the tunnel
             bnd, rid_p, bin_p, n_valid = pack_records_compact2(
@@ -1013,18 +1006,18 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
             out = fused_profile_compact2(
                 bnd, rid_p, bin_p, n_valid, jnp.asarray(lengths_u32),
                 jnp.asarray(bin_offset), jnp.asarray(bin_ends), half, bw,
-                jnp.asarray(dense.lineage), q, use_pallas=use_pallas,
-                emit_coverage=engine.fetch_coverage, pair_mode=pair_mode,
-                **kw)
+                jnp.asarray(dense.lineage), jnp.asarray(dense.sk_code), q,
+                use_pallas=use_pallas,
+                emit_coverage=engine.fetch_coverage, **kw)
         else:
             bnd, rid_p, pos_p, n_valid = pack_records_compact(
                 read_id, rid, pos, n_pad, n_contigs)
             out = fused_profile_compact(
                 bnd, rid_p, pos_p, n_valid, jnp.asarray(lengths_u32),
                 jnp.asarray(bin_offset), jnp.asarray(bin_ends), half, bw,
-                jnp.asarray(dense.lineage), q, use_pallas=use_pallas,
-                emit_coverage=engine.fetch_coverage, pair_mode=pair_mode,
-                **kw)
+                jnp.asarray(dense.lineage), jnp.asarray(dense.sk_code), q,
+                use_pallas=use_pallas,
+                emit_coverage=engine.fetch_coverage, **kw)
 
     _finalize_state(st, out, dense, total_bins, engine, options, timer)
     return st
@@ -1081,25 +1074,28 @@ def _finalize_state(st, out, dense, total_bins, engine, options, timer):
             st.taxon_id__read_count.get(tid, 0) + int(counts[d]))
     base = 6 * n_contigs + _N_SCALARS + dense.n_dense
     packed_np = np.asarray(out["packed"])
-    if "pair_lca" in out:
-        pair_lca = np.asarray(out["pair_lca"]).ravel()
-        pair_rid = np.asarray(out["pair_rid"]).ravel()
-        keep = pair_lca >= 0
-        pairs = np.unique(np.stack([pair_lca[keep], pair_rid[keep]], axis=1),
-                          axis=0)
+    # bitpacked (contig x level-code) presence: either streamed separately
+    # (pair_bits uint8) or riding as int32 words in the packed tail.
+    # Code < 8 = the read's first agreeing lineage level L → the lca is
+    # lineage[r][L]; code 8+k = no level agreed → the lca is the k-th
+    # distinct superkingdom id (see _pass_b_local).
+    if "pair_bits" in out:
+        pbytes = np.asarray(out["pair_bits"])
     else:
-        # bitpacked (lca x contig) presence: either streamed separately
-        # (pair_bits uint8) or riding as int32 words in the packed tail
-        if "pair_bits" in out:
-            pbytes = np.asarray(out["pair_bits"])
-        else:
-            pbytes = np.ascontiguousarray(packed_np[base:]).view(np.uint8)
-        pres = np.unpackbits(pbytes, bitorder="little")
-        nz = np.flatnonzero(pres[:dense.n_dense * n_contigs])
-        pairs = np.stack([nz // n_contigs, nz % n_contigs], axis=1)
-    for d, r in pairs.tolist():
+        pbytes = np.ascontiguousarray(packed_np[base:]).view(np.uint8)
+    n_codes = dense.n_pair_codes
+    pres = np.unpackbits(pbytes, bitorder="little")
+    nz = np.flatnonzero(pres[:n_contigs * n_codes])
+    r = (nz // n_codes).astype(np.int64)
+    code = (nz % n_codes).astype(np.int64)
+    lvl = code < 8
+    lca_d = np.where(lvl, dense.lineage[r, np.minimum(code, 7)],
+                     dense.sk_dense[np.maximum(code, 8) - 8]
+                     if len(dense.sk_dense) else 0)
+    pairs = np.unique(np.stack([lca_d, r], axis=1), axis=0)
+    for d, r_ in pairs.tolist():
         tid = int(dense.dense_to_tid[d])
-        st.taxon_id__children.setdefault(tid, set()).add(int(r))
+        st.taxon_id__children.setdefault(tid, set()).add(int(r_))
 
     st.propagate_counts()
     timer.lap()
@@ -1249,17 +1245,16 @@ def _profile_file_overlap(options: ProfileOptions, db: SlimmDatabase,
             nvs.append(0)
 
     use_pallas = jax.devices()[0].platform != "cpu"
-    pair_mode = ("hist" if dense.n_dense * n_contigs <= PAIR_DOM_MAX
-                 else "arrays")
     total_bins_pad = geom["total_bins_pad"]
     out = fused_profile_pieces(
         tuple(bnds), tuple(rids), tuple(bins),
         jnp.asarray(np.asarray(nvs, np.int32)), d_len, d_off, d_ends,
-        geom["half"], geom["bin_width"], d_lin, geom["q"],
+        geom["half"], geom["bin_width"], d_lin,
+        jnp.asarray(dense.sk_code), geom["q"],
         n_contigs=n_contigs, total_bins_pad=total_bins_pad,
-        n_dense=dense.n_dense, dedup_window=0, k_steps=k_steps,
-        window=window, use_pallas=use_pallas,
-        emit_coverage=engine.fetch_coverage, pair_mode=pair_mode)
+        n_dense=dense.n_dense, n_codes=dense.n_pair_codes, dedup_window=0,
+        k_steps=k_steps, window=window, use_pallas=use_pallas,
+        emit_coverage=engine.fetch_coverage)
     _finalize_state(st, out, dense, geom["total_bins"], engine, options,
                     timer)
     return st
@@ -1320,14 +1315,13 @@ def _cutoffs_jit(cov, uniq_cov, bin_offset, bin_ends, q):
 
 @partial(jax.jit, donate_argnums=(0, 1, 2, 3),
          static_argnames=("n_contigs", "total_bins_pad", "n_dense",
-                          "k_steps", "window", "use_pallas",
-                          "emit_coverage", "pair_mode", "pos_is_bin"))
+                          "n_codes", "k_steps", "window", "use_pallas",
+                          "emit_coverage", "pos_is_bin"))
 def _pass_b_chunk_jit(u2_acc, taxon, um2, pair_acc, bnd, rid_small, pos,
-                      n_valid, valid_mask,
-                      lineage, lengths_u32, bin_offset, half, bin_width, *,
-                      n_contigs, total_bins_pad, n_dense, k_steps, window,
-                      use_pallas, emit_coverage, pair_mode,
-                      pos_is_bin=False):
+                      n_valid, valid_mask, lineage, sk_code,
+                      lengths_u32, bin_offset, half, bin_width, *,
+                      n_contigs, total_bins_pad, n_dense, n_codes, k_steps,
+                      window, use_pallas, emit_coverage, pos_is_bin=False):
     read_id = _unpack_read_groups(bnd, pos.shape[0], n_valid)
     rid = rid_small.astype(jnp.int32)
     rid_c = jnp.clip(rid, 0, n_contigs - 1)
@@ -1341,23 +1335,18 @@ def _pass_b_chunk_jit(u2_acc, taxon, um2, pair_acc, bnd, rid_small, pos,
             center // bin_width.astype(jnp.uint32)).astype(jnp.int32)
     nondup = read_id >= 0  # native stream decoder pre-dedups
     b = _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask, lineage,
-                      n_contigs=n_contigs, total_bins_pad=total_bins_pad,
-                      n_dense=n_dense, k_steps=k_steps, window=window,
-                      use_pallas=use_pallas, emit_coverage=emit_coverage,
-                      pair_mode=pair_mode)
+                      sk_code, n_contigs=n_contigs,
+                      total_bins_pad=total_bins_pad, n_dense=n_dense,
+                      n_codes=n_codes, k_steps=k_steps, window=window,
+                      use_pallas=use_pallas, emit_coverage=emit_coverage)
     if emit_coverage:
         u2_acc = u2_acc + b["uniq_cov2"]
     else:
         u2_acc = u2_acc + b["u2_counts"]
-    if pair_mode == "hist":
-        # (lca x contig) presence accumulates on device; ONE small int8
-        # fetch at finalize replaces two record-sized fetches per chunk
-        # (the device->host tunnel runs at ~40 MB/s)
-        pairs = (pair_acc | b["pair_hist"],)
-    else:
-        pairs = (pair_acc, b["pair_lca"], b["pair_rid"])
-    return (u2_acc, taxon + b["taxon_counts"],
-            um2 + b["uniq_matches2"]) + pairs
+    # (contig x code) pair presence accumulates on device (tiny domain);
+    # ONE small bitpacked fetch at finalize — no per-chunk pair fetches
+    return (u2_acc, taxon + b["taxon_counts"], um2 + b["uniq_matches2"],
+            pair_acc | b["pair_levels"])
 
 
 def _open_stream(path: str, engine: EngineOptions, chunk_targets: int):
@@ -1598,34 +1587,22 @@ def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
 
     # ---- pass B over the cached chunks (device-resident or host copies) ----
     emit = engine.fetch_coverage
-    pair_mode = ("hist" if dense.n_dense * n_contigs <= PAIR_DOM_MAX
-                 else "arrays")
     u2_acc = jnp.zeros(total_bins_pad if emit else n_contigs, jnp.int32)
     taxon = jnp.zeros(dense.n_dense, jnp.int32)
     um2 = jnp.int32(0)
-    if pair_mode == "hist":
-        # (lca x contig) presence accumulates on device across chunks;
-        # ONE small bitpacked fetch at finalize replaces per-chunk
-        # record-sized ones
-        pair_dom = -(-(dense.n_dense * n_contigs) // 1024) * 1024
-        pair_acc = jnp.zeros(pair_dom, jnp.int8)
-    else:
-        pair_acc = jnp.zeros((), jnp.int8)  # pass-through dummy
-    pair_parts = []
+    # (contig x code) pair presence accumulates on device across chunks;
+    # ONE small bitpacked fetch at finalize, bounded host memory
+    pair_dom = -(-(n_contigs * dense.n_pair_codes) // 1024) * 1024
+    pair_acc = jnp.zeros(pair_dom, jnp.int8)
+    sk_code = jnp.asarray(dense.sk_code)
     for (r, i, p), n_valid, k_steps, window in chunks:
-        res = _pass_b_chunk_jit(
+        u2_acc, taxon, um2, pair_acc = _pass_b_chunk_jit(
             u2_acc, taxon, um2, pair_acc, jnp.asarray(r), jnp.asarray(i),
-            jnp.asarray(p), n_valid, valid, lineage, lengths_u32,
+            jnp.asarray(p), n_valid, valid, lineage, sk_code, lengths_u32,
             bin_offset, half, bw, n_contigs=n_contigs,
             total_bins_pad=total_bins_pad, n_dense=dense.n_dense,
-            k_steps=k_steps, window=window, use_pallas=use_pallas,
-            emit_coverage=emit, pair_mode=pair_mode,
-            pos_is_bin=pos_is_bin)
-        if pair_mode == "hist":
-            u2_acc, taxon, um2, pair_acc = res
-        else:
-            u2_acc, taxon, um2, pair_acc, pl, pr = res
-            pair_parts.append((pl, pr))
+            n_codes=dense.n_pair_codes, k_steps=k_steps, window=window,
+            use_pallas=use_pallas, emit_coverage=emit, pos_is_bin=pos_is_bin)
     timer.lap()
 
     # ---- host finalize via the shared packed layout ----
@@ -1646,13 +1623,7 @@ def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
         np.asarray(valid).astype(np.int32), scalars,
         np.asarray(taxon)]).astype(np.int32)
     out = dict(packed=packed)
-    if pair_mode == "hist":
-        out["pair_bits"] = np.asarray(jax.jit(_pack_bits_u8)(pair_acc))
-    else:
-        out["pair_lca"] = np.concatenate(
-            [np.asarray(pl).ravel() for pl, _ in pair_parts])
-        out["pair_rid"] = np.concatenate(
-            [np.asarray(pr).ravel() for _, pr in pair_parts])
+    out["pair_bits"] = np.asarray(jax.jit(_pack_bits_u8)(pair_acc))
     if emit:
         out.update(cov=cov, uniq_cov=uniq_cov, uniq_cov2=u2_acc)
     t2 = PhaseTimer(enabled=engine.phase_log)
@@ -1675,29 +1646,26 @@ def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
 
 
 @partial(jax.jit, static_argnames=("n_contigs", "total_bins_pad", "n_dense",
-                                   "dedup_window", "k_steps", "window",
-                                   "use_pallas", "emit_coverage",
-                                   "pair_mode"))
+                                   "n_codes", "dedup_window", "k_steps",
+                                   "window", "use_pallas", "emit_coverage"))
 def fused_profile_batch(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
-                        half, bin_width, lineage, q, *, n_contigs,
-                        total_bins_pad, n_dense, dedup_window, k_steps,
-                        window, use_pallas=False, emit_coverage=True,
-                        pair_mode="arrays"):
+                        half, bin_width, lineage, sk_code, q, *, n_contigs,
+                        total_bins_pad, n_dense, n_codes, dedup_window,
+                        k_steps, window, use_pallas=False,
+                        emit_coverage=True):
     """read_id/rid/pos: (K, N); bin_offset/bin_ends: (K, C); half/bin_width:
     (K,).  Returns the fused outputs stacked over the leading file axis."""
 
     def body(carry, xs):
         r, i, p, off, ends, hf, bw = xs
         out = _fused_core(r, i, p, lengths_u32, off, ends, hf, bw,
-                          lineage, q, n_contigs=n_contigs,
+                          lineage, sk_code, q, n_contigs=n_contigs,
                           total_bins_pad=total_bins_pad, n_dense=n_dense,
-                          dedup_window=dedup_window, k_steps=k_steps,
-                          window=window, use_pallas=use_pallas,
-                          emit_coverage=emit_coverage, pair_mode=pair_mode)
-        if pair_mode == "hist":
-            ys = (out["packed"],)   # pair bits ride in the packed tail
-        else:
-            ys = (out["packed"], out["pair_lca"], out["pair_rid"])
+                          n_codes=n_codes, dedup_window=dedup_window,
+                          k_steps=k_steps, window=window,
+                          use_pallas=use_pallas,
+                          emit_coverage=emit_coverage)
+        ys = (out["packed"],)   # pair bits ride in the packed tail
         if emit_coverage:
             ys = ys + (out["cov"], out["uniq_cov"], out["uniq_cov2"])
         return carry, ys
@@ -1705,14 +1673,9 @@ def fused_profile_batch(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
     _, ys = jax.lax.scan(body, jnp.int32(0),
                          (read_id, rid, pos, bin_offset, bin_ends,
                           half, bin_width))
-    if pair_mode == "hist":
-        out = dict(packed=ys[0])
-        rest = ys[1:]
-    else:
-        out = dict(packed=ys[0], pair_lca=ys[1], pair_rid=ys[2])
-        rest = ys[3:]
+    out = dict(packed=ys[0])
     if emit_coverage:
-        out.update(cov=rest[0], uniq_cov=rest[1], uniq_cov2=rest[2])
+        out.update(cov=ys[1], uniq_cov=ys[2], uniq_cov2=ys[3])
     return out
 
 
@@ -1810,23 +1773,17 @@ def profile_files_batched(options: ProfileOptions, db: SlimmDatabase,
         bwidth[k] = opts_k.bin_width
 
     use_pallas = jax.devices()[0].platform != "cpu"
-    pair_mode = ("hist" if dense.n_dense * n_contigs <= PAIR_DOM_MAX
-                 else "arrays")
     out = fused_profile_batch(
         jnp.asarray(read_id), jnp.asarray(rid), jnp.asarray(pos),
         jnp.asarray(lengths.astype(np.uint32)), jnp.asarray(bin_offset),
         jnp.asarray(bin_ends), jnp.asarray(half), jnp.asarray(bwidth),
-        jnp.asarray(dense.lineage), np.float32(options.cov_cut_off),
+        jnp.asarray(dense.lineage), jnp.asarray(dense.sk_code),
+        np.float32(options.cov_cut_off),
         n_contigs=n_contigs, total_bins_pad=total_bins_pad,
-        n_dense=dense.n_dense, dedup_window=0, k_steps=k_steps,
-        window=window, use_pallas=use_pallas,
-        emit_coverage=engine.fetch_coverage, pair_mode=pair_mode)
+        n_dense=dense.n_dense, n_codes=dense.n_pair_codes, dedup_window=0,
+        k_steps=k_steps, window=window, use_pallas=use_pallas,
+        emit_coverage=engine.fetch_coverage)
     packed = np.asarray(out["packed"])          # one fetch for all files
-    if pair_mode == "hist":
-        pair_lca = pair_rid = None              # bits ride in packed[k]
-    else:
-        pair_lca = np.asarray(out["pair_lca"])
-        pair_rid = np.asarray(out["pair_rid"])
     cov = np.asarray(out["cov"]) if engine.fetch_coverage else None
     uniq_cov = np.asarray(out["uniq_cov"]) if engine.fetch_coverage else None
     uniq_cov2 = (np.asarray(out["uniq_cov2"]) if engine.fetch_coverage
@@ -1838,11 +1795,7 @@ def profile_files_batched(options: ProfileOptions, db: SlimmDatabase,
         print("[WARNING] No mapped reads found in BAM file!", file=sys.stderr)
     for k, (path, st, opts_k, b) in enumerate(preps):
         tb = int(st.nbins.sum())
-        if pair_mode == "hist":
-            out_k = dict(packed=packed[k])
-        else:
-            out_k = dict(packed=packed[k], pair_lca=pair_lca[k],
-                         pair_rid=pair_rid[k])
+        out_k = dict(packed=packed[k])
         if engine.fetch_coverage:
             out_k.update(cov=cov[k], uniq_cov=uniq_cov[k],
                          uniq_cov2=uniq_cov2[k])

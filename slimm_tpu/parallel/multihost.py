@@ -120,15 +120,8 @@ class MultiHostRunner:
             start += c
         return out_read, out_rid, out_pos
 
-    def _pair_mode(self, kw) -> str:
-        from ..engine.pipeline import PAIR_DOM_MAX
-        if (kw["n_dense"] * kw["n_contigs"] <= PAIR_DOM_MAX
-                and self.n_shards <= 127):
-            return "hist"
-        return "arrays"
-
-    def _get_fused(self, n_s, pair_mode, **kw):
-        key = (n_s, pair_mode, tuple(sorted(kw.items())))
+    def _get_fused(self, n_s, **kw):
+        key = (n_s, tuple(sorted(kw.items())))
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
@@ -136,30 +129,27 @@ class MultiHostRunner:
         use_pallas = mesh.devices.flat[0].platform != "cpu"
 
         def shard_fn(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
-                     half, bin_width, lineage, q):
+                     half, bin_width, lineage, sk_code, q):
             out = _fused_core(read_id[0], rid[0], pos[0], lengths_u32,
                               bin_offset, bin_ends, half, bin_width,
-                              lineage, q, psum_axis="data",
-                              use_pallas=use_pallas, pair_mode=pair_mode,
-                              **kw)
-            base = (out["packed"], out["cov"], out["uniq_cov"],
+                              lineage, sk_code, q, psum_axis="data",
+                              use_pallas=use_pallas, **kw)
+            # the bitpacked (contig x code) pair presence rides in the
+            # replicated packed tail — every output is replicated, so any
+            # host can fetch it (no allgather of record-sized arrays)
+            return (out["packed"], out["cov"], out["uniq_cov"],
                     out["uniq_cov2"])
-            if pair_mode == "hist":   # pair bits ride in the packed tail
-                return base
-            return base + (out["pair_lca"][None], out["pair_rid"][None])
 
-        pair_specs = (() if pair_mode == "hist"
-                      else (P("data", None),) * 2)
         mapped = jax.shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(P("data", None),) * 3 + (P(),) * 7,
-            out_specs=(P(),) * 4 + pair_specs)
+            in_specs=(P("data", None),) * 3 + (P(),) * 8,
+            out_specs=(P(),) * 4)
         fn = jax.jit(mapped)
         self._jit_cache[key] = fn
         return fn
 
     def fused(self, read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
-              half, bin_width, lineage, q, **kw):
+              half, bin_width, lineage, sk_code, q, **kw):
         # agree on the shard row length across hosts: max ACTUAL per-shard
         # count (shard = hash(read id), so loads can be uneven), allgathered
         per_shard = int(max(self._shard_counts(read_id).max(), 1))
@@ -182,26 +172,14 @@ class MultiHostRunner:
         else:
             read_g, rid_g, pos_g = read2d, rid2d, pos2d
 
-        pair_mode = self._pair_mode(kw)
-        fn = self._get_fused(n_s, pair_mode, **kw)
+        fn = self._get_fused(n_s, **kw)
         outs = fn(read_g, rid_g, pos_g, jnp.asarray(lengths_u32),
                   jnp.asarray(bin_offset), jnp.asarray(bin_ends),
                   jnp.asarray(half), jnp.asarray(bin_width),
-                  jnp.asarray(lineage), jnp.asarray(q))
-        out = dict(packed=outs[0], cov=outs[1], uniq_cov=outs[2],
-                   uniq_cov2=outs[3])
-        if pair_mode != "hist":   # hist: bits ride in the replicated packed
-            pair_lca, pair_rid = outs[4], outs[5]
-            if jax.process_count() > 1:
-                # data-sharded global jax.Arrays span non-addressable
-                # devices and cannot be fetched directly; allgather to host
-                from jax.experimental import multihost_utils
-                pair_lca = multihost_utils.process_allgather(pair_lca,
-                                                             tiled=True)
-                pair_rid = multihost_utils.process_allgather(pair_rid,
-                                                             tiled=True)
-            out["pair_lca"], out["pair_rid"] = pair_lca, pair_rid
-        return out
+                  jnp.asarray(lineage), jnp.asarray(sk_code),
+                  jnp.asarray(q))
+        return dict(packed=outs[0], cov=outs[1], uniq_cov=outs[2],
+                    uniq_cov2=outs[3])
 
 
 def main(argv=None):

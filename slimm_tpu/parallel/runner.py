@@ -91,18 +91,8 @@ class ShardedRunner:
 
     # -- jitted shard_map builder ----------------------------------------------
 
-    def _pair_mode(self, kw) -> str:
-        # compact presence-map pairs when the domain fits and the 0/1 int8
-        # psum cannot overflow; replicated output beats data-sharded
-        # record-sized arrays (which multi-host cannot even fetch directly)
-        from ..engine.pipeline import PAIR_DOM_MAX
-        if (kw["n_dense"] * kw["n_contigs"] <= PAIR_DOM_MAX
-                and self.data_shards <= 127):
-            return "hist"
-        return "arrays"
-
-    def _get_fused(self, n_s, pair_mode, **kw):
-        key = ("fused", n_s, pair_mode, tuple(sorted(kw.items())))
+    def _get_fused(self, n_s, **kw):
+        key = ("fused", n_s, tuple(sorted(kw.items())))
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
@@ -111,27 +101,23 @@ class ShardedRunner:
         use_pallas = self.mesh.devices.flat[0].platform != "cpu"
 
         def shard_fn(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
-                     half, bin_width, lineage, q):
+                     half, bin_width, lineage, sk_code, q):
             out = _fused_core(read_id[0], rid[0], pos[0], lengths_u32,
                               bin_offset, bin_ends, half, bin_width,
-                              lineage, q, psum_axis="data",
+                              lineage, sk_code, q, psum_axis="data",
                               model_axis="model" if has_model else None,
                               model_shards=self.model_shards,
-                              use_pallas=use_pallas, pair_mode=pair_mode,
-                              **kw)
-            base = (out["packed"], out["cov"], out["uniq_cov"],
+                              use_pallas=use_pallas, **kw)
+            # the bitpacked (contig x code) pair presence rides in the
+            # replicated packed tail — no record-sized pair outputs
+            return (out["packed"], out["cov"], out["uniq_cov"],
                     out["uniq_cov2"])
-            if pair_mode == "hist":   # pair bits ride in the packed tail
-                return base
-            return base + (out["pair_lca"][None], out["pair_rid"][None])
 
         hist_spec = P("model") if has_model else P()
-        pair_specs = (() if pair_mode == "hist"
-                      else (P("data", None),) * 2)
         mapped = jax.shard_map(
             shard_fn, mesh=mesh,
-            in_specs=(P("data", None),) * 3 + (P(),) * 7,
-            out_specs=(P(),) + (hist_spec,) * 3 + pair_specs)
+            in_specs=(P("data", None),) * 3 + (P(),) * 8,
+            out_specs=(P(),) + (hist_spec,) * 3)
         fn = jax.jit(mapped)
         self._jit_cache[key] = fn
         return fn
@@ -139,21 +125,18 @@ class ShardedRunner:
     # -- engine interface ------------------------------------------------------
 
     def fused(self, read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
-              half, bin_width, lineage, q, **kw):
+              half, bin_width, lineage, sk_code, q, **kw):
         if self.model_shards > 1:
             # every model shard owns an equal 1024-aligned bin slice
             quantum = 1024 * self.model_shards
             kw["total_bins_pad"] = -(-kw["total_bins_pad"] // quantum
                                      ) * quantum
         read2d, rid2d, pos2d, n_s = self._route(read_id, rid, pos)
-        pair_mode = self._pair_mode(kw)
-        fn = self._get_fused(n_s, pair_mode, **kw)
+        fn = self._get_fused(n_s, **kw)
         outs = fn(read2d, rid2d, pos2d, jnp.asarray(lengths_u32),
                   jnp.asarray(bin_offset), jnp.asarray(bin_ends),
                   jnp.asarray(half), jnp.asarray(bin_width),
-                  jnp.asarray(lineage), jnp.asarray(q))
-        out = dict(packed=outs[0], cov=outs[1], uniq_cov=outs[2],
-                   uniq_cov2=outs[3])
-        if pair_mode != "hist":
-            out["pair_lca"], out["pair_rid"] = outs[4], outs[5]
-        return out
+                  jnp.asarray(lineage), jnp.asarray(sk_code),
+                  jnp.asarray(q))
+        return dict(packed=outs[0], cov=outs[1], uniq_cov=outs[2],
+                    uniq_cov2=outs[3])

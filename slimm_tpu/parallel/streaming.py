@@ -108,16 +108,14 @@ class ShardedStreamSession:
         self.hist_bins = self.B // self.M
         self.C = geom["n_contigs"]
         self.n_dense = dense.n_dense
+        self.n_codes = dense.n_pair_codes
         self.emit = emit_coverage
-        self.pair_mode = ("hist"
-                          if (self.n_dense * self.C <= _pl.PAIR_DOM_MAX
-                              and self.D <= 127) else "arrays")
         self.budget = device_cache_bytes
         self.chunks: list = []
         self._jit_cache: dict = {}
-        self._pair_parts: list = []
 
         self._cov_spec = P("data", "model") if self.M > 1 else P("data", None)
+        self._sk_code = jnp.asarray(dense.sk_code)
         self._lengths = jnp.asarray(geom["lengths_u32"])
         self._boff = jnp.asarray(geom["bin_offset"])
         self._bends = jnp.asarray(geom["bin_ends"])
@@ -310,12 +308,11 @@ class ShardedStreamSession:
         self.taxon = self._zeros((self.D, self.n_dense), jnp.int32,
                                  P("data", None))
         self.um2 = self._zeros((self.D,), jnp.int32, P("data"))
-        if self.pair_mode == "hist":
-            pair_dom = -(-(self.n_dense * self.C) // 1024) * 1024
-            self.pair = self._zeros((self.D, pair_dom), jnp.int8,
-                                    P("data", None))
-        else:
-            self.pair = self._zeros((self.D, 1), jnp.int8, P("data", None))
+        # (contig x code) pair presence, per data shard (see
+        # pipeline._pass_b_local) — kilobytes even at full-RefSeq scale
+        pair_dom = -(-(self.C * self.n_codes) // 1024) * 1024
+        self.pair = self._zeros((self.D, pair_dom), jnp.int8,
+                                P("data", None))
 
     # -- pass B ---------------------------------------------------------------
 
@@ -325,11 +322,11 @@ class ShardedStreamSession:
         if fn is not None:
             return fn
         M, B, hb, C = self.M, self.B, self.hist_bins, self.C
-        n_dense, emit, pm = self.n_dense, self.emit, self.pair_mode
+        n_dense, n_codes, emit = self.n_dense, self.n_codes, self.emit
         use_pallas = self.use_pallas
 
         def shard_fn(u2, taxon, um2, pair, bnd, rid, pos, nv, valid,
-                     lineage, lengths, boff, half, bw):
+                     lineage, sk_code, lengths, boff, half, bw):
             read_id = _unpack_read_groups(bnd[0], n_s, nv[0])
             rid_i = rid[0].astype(jnp.int32)
             rid_c = jnp.clip(rid_i, 0, C - 1)
@@ -345,26 +342,23 @@ class ShardedStreamSession:
             else:
                 bin_lo, hbins = None, None
             b = _pass_b_local(read_id, rid_i, t_gbin, nondup, valid, lineage,
-                              n_contigs=C, total_bins_pad=B, n_dense=n_dense,
+                              sk_code, n_contigs=C, total_bins_pad=B,
+                              n_dense=n_dense, n_codes=n_codes,
                               k_steps=k_steps, window=window,
                               use_pallas=use_pallas, emit_coverage=emit,
-                              bin_lo=bin_lo, hist_bins=hbins, pair_mode=pm)
+                              bin_lo=bin_lo, hist_bins=hbins)
             u2 = u2 + (b["uniq_cov2"] if emit else b["u2_counts"])[None]
             taxon = taxon + b["taxon_counts"][None]
             um2 = um2 + b["uniq_matches2"][None]
-            if pm == "hist":
-                return u2, taxon, um2, pair | b["pair_hist"][None]
-            return (u2, taxon, um2, pair,
-                    b["pair_lca"][None], b["pair_rid"][None])
+            return u2, taxon, um2, pair | b["pair_levels"][None]
 
         u2_spec = self._cov_spec if emit else P("data", None)
-        pair_out = (() if pm == "hist" else (P("data", None),) * 2)
         mapped = jax.shard_map(
             shard_fn, mesh=self.mesh,
             in_specs=(u2_spec, P("data", None), P("data"), P("data", None))
-                     + (P("data", None),) * 3 + (P("data"),) + (P(),) * 6,
+                     + (P("data", None),) * 3 + (P("data"),) + (P(),) * 7,
             out_specs=(u2_spec, P("data", None), P("data"),
-                       P("data", None)) + pair_out)
+                       P("data", None)))
         fn = jax.jit(mapped, donate_argnums=(0, 1, 2, 3))
         self._jit_cache[key] = fn
         return fn
@@ -376,11 +370,9 @@ class ShardedStreamSession:
                 g = self._globalize(*g)
             res = self._get_pass_b(n_s, k_steps, window)(
                 self.u2, self.taxon, self.um2, self.pair, g[0], g[1], g[2],
-                g[3], self.valid, self._lineage, self._lengths, self._boff,
-                self._half, self._bw)
-            self.u2, self.taxon, self.um2, self.pair = res[:4]
-            if self.pair_mode == "arrays":
-                self._pair_parts.append((res[4], res[5]))
+                g[3], self.valid, self._lineage, self._sk_code,
+                self._lengths, self._boff, self._half, self._bw)
+            self.u2, self.taxon, self.um2, self.pair = res
         self.chunks.clear()
 
     # -- finalize ---------------------------------------------------------------
@@ -390,7 +382,7 @@ class ShardedStreamSession:
         fn = self._jit_cache.get(key)
         if fn is not None:
             return fn
-        M, emit, pm = self.M, self.emit, self.pair_mode
+        M, emit = self.M, self.emit
 
         def shard_fn(u2, taxon, um2, pair, boff, bends):
             if emit:
@@ -406,20 +398,17 @@ class ShardedStreamSession:
                 u2m = jnp.zeros(1, jnp.int32)
             taxon_t = jax.lax.psum(taxon, "data")[0]
             um2_t = jax.lax.psum(um2, "data")[0]
-            outs = (u2row, taxon_t, um2_t)
-            if pm == "hist":
-                # per-shard 0/1 presence; int8 psum exact below 127
-                # shards; bitpacked for the 8x-smaller host fetch
-                ph = jax.lax.psum(pair, "data")[0]
-                outs = outs + (_pl._pack_bits_u8(ph > 0),)
+            # per-shard 0/1 presence; the int32 psum is exact at any shard
+            # count; bitpacked for the 8x-smaller host fetch
+            ph = jax.lax.psum(pair.astype(jnp.int32), "data")[0]
+            outs = (u2row, taxon_t, um2_t, _pl._pack_bits_u8(ph > 0))
             if emit:
                 outs = outs + (u2m,)
             return outs
 
         hist_out = P("model") if M > 1 else P()
         u2_spec = self._cov_spec if emit else P("data", None)
-        out_specs = ((P(),) * 3 + ((P(),) if pm == "hist" else ())
-                     + ((hist_out,) if emit else ()))
+        out_specs = (P(),) * 4 + ((hist_out,) if emit else ())
         mapped = jax.shard_map(
             shard_fn, mesh=self.mesh,
             in_specs=(u2_spec, P("data", None), P("data"), P("data", None),
@@ -434,12 +423,8 @@ class ShardedStreamSession:
         hands to engine.pipeline._finalize_state."""
         outs = self._get_finalize()(self.u2, self.taxon, self.um2, self.pair,
                                     self._boff, self._bends)
-        u2row, taxon_t, um2_t = outs[0], outs[1], outs[2]
-        k = 3
-        if self.pair_mode == "hist":
-            pair_merged = outs[k]
-            k += 1
-        u2m = outs[k] if self.emit else None
+        u2row, taxon_t, um2_t, pair_merged = outs[:4]
+        u2m = outs[4] if self.emit else None
 
         scalars = np.zeros(_N_SCALARS, np.int32)
         scalars[0] = int(np.asarray(self.um_total))
@@ -452,21 +437,7 @@ class ShardedStreamSession:
             np.asarray(self.valid).astype(np.int32), scalars,
             np.asarray(taxon_t)]).astype(np.int32)
         out = dict(packed=packed)
-        if self.pair_mode == "hist":
-            out["pair_bits"] = np.asarray(pair_merged)
-        else:
-            parts = self._pair_parts
-            if self.multihost:
-                from jax.experimental import multihost_utils
-                parts = [(multihost_utils.process_allgather(pl, tiled=True),
-                          multihost_utils.process_allgather(pr, tiled=True))
-                         for pl, pr in parts]
-            out["pair_lca"] = (np.concatenate(
-                [np.asarray(pl).ravel() for pl, _ in parts])
-                if parts else np.zeros(0, np.int32))
-            out["pair_rid"] = (np.concatenate(
-                [np.asarray(pr).ravel() for _, pr in parts])
-                if parts else np.zeros(0, np.int32))
+        out["pair_bits"] = np.asarray(pair_merged)
         if self.emit:
             out.update(cov=np.asarray(self.cov_merged),
                        uniq_cov=np.asarray(self.uniq_cov_merged),

@@ -318,15 +318,21 @@ def test_engine_no_coverage_fetch_matches_oracle(toy_dir):
     assert st_e.cov is None and st_e.uniq_cov2 is None  # not fetched
 
 
-def test_pair_arrays_fallback_matches(toy_dir, monkeypatch):
-    # DBs whose (lca x contig) domain exceeds PAIR_DOM_MAX fall back to
-    # record-sized pair arrays — force that path and assert identity
-    import slimm_tpu.engine.pipeline as P
-
-    st_o, _ = run_both(toy_dir)
-    monkeypatch.setattr(P, "PAIR_DOM_MAX", 1)
-    db = build_toy_db(toy_dir)
-    st_e = profile_file(ProfileOptions(), copy.deepcopy(db),
-                        toy_dir.sam_path,
-                        engine=EngineOptions(phase_log=False))
+def test_pair_channel_no_agreeing_level(toy_dir):
+    # Reads whose targets disagree at EVERY lineage level (contig 5 has an
+    # all-zero lineage; the DB contigs end in superkingdom 2): the
+    # reference's get_lca falls through its loop and returns the
+    # last-inserted level-7 value (slimm.hpp:516-531) — the pair channel's
+    # superkingdom codes (codes >= 8, pipeline._pass_b_local) must
+    # reproduce the children sets for that corner exactly.
+    records = list(make_records())
+    for k in range(12):   # contigs {0, 5}: no level agrees; lca = 0
+        records.append((f"m_noagree_{k}", 0, 0, 100 + 50 * k, 100))
+        records.append((f"m_noagree_{k}", 0, 5, 30 + 20 * k, 100))
+    for k in range(8):    # contigs {4, 5}: max rid is 5 → lca = 0 again
+        records.append((f"m_noagree2_{k}", 0, 4, 70 + 40 * k, 100))
+        records.append((f"m_noagree2_{k}", 0, 5, 10 + 25 * k, 100))
+    st_o, st_e = run_both(toy_dir, records=records)
+    assert 0 in st_o.taxon_id__read_count  # the corner actually fired
+    assert {0, 5} <= st_o.taxon_id__children[0]
     assert_states_equal(st_o, st_e)

@@ -175,14 +175,11 @@ def test_streaming_sharded_large_no_coverage(tmp_path):
                                   st_s.uniq_reads_count2)
 
 
-def test_streaming_sharded_pair_arrays_and_host_cache(toy_dir, monkeypatch):
-    # force the record-sized pair-array fallback (domains past
-    # PAIR_DOM_MAX) AND the host-copy chunk cache (zero device budget →
-    # pass B re-uploads every chunk) in one run
-    from slimm_tpu.engine import pipeline as P
+def test_streaming_sharded_host_cache(toy_dir):
+    # force the host-copy chunk cache (zero device budget → pass B
+    # re-uploads every chunk)
     from slimm_tpu.parallel import ShardedRunner
 
-    monkeypatch.setattr(P, "PAIR_DOM_MAX", 1)
     db = build_toy_db(toy_dir)
     st_w = profile_file(ProfileOptions(), copy.deepcopy(db),
                         toy_dir.sam_path,
