@@ -1488,6 +1488,9 @@ struct StpuStream {
   std::unique_ptr<Stream> bam_st;   // buffered view (BAM only)
   int64_t consumed = 0;             // targets already taken by the caller
   bool eof = false;
+  // non-grouped (e.g. coordinate-sorted) input, regrouped at EOF: the
+  // caller-visible arrays are read-grouped from here on
+  bool regrouped = false;
   std::string error;
   // pipelined SAM decode (mmap sources): tokenizer thread runs ahead,
   // pull() consumes one batch per call on the caller's thread
@@ -1527,9 +1530,43 @@ struct StpuStream {
 
   // targets safe to hand out: everything before the current run
   int64_t completed() {
-    if (eof) return static_cast<int64_t>(file.read_id.size()) - consumed;
-    if (!dec().grouped) return 0;  // caller must fall back
+    if (eof && (dec().grouped || regrouped))
+      return static_cast<int64_t>(file.read_id.size()) - consumed;
+    if (!dec().grouped) return 0;  // awaiting the EOF regroup
     return static_cast<int64_t>(dec().run_start) - consumed;
+  }
+
+  // Non-qname-grouped input (samtools' default coordinate sort): the
+  // grouped fast path is gone, but the Decoder keeps first-hit-dedup'ing
+  // through its pair set — reads can reappear anywhere, so no read is
+  // provably complete before EOF.  Decode the remainder, counting-sort
+  // the full target arrays by read id ONCE (the reference's hash-map loop
+  // is record-order-insensitive, slimm.hpp:194-213), and serve chunks
+  // from the grouped result.  Host memory is O(targets) — what the
+  // whole-file fallback cost anyway, minus its SECOND decode of the
+  // input.  Only valid while nothing was consumed: shipped targets
+  // cannot be regrouped (and the rebuilt pair set would be incomplete).
+  void regroup_at_eof() {
+    if (consumed > 0)
+      throw DecodeError(
+          "input is not qname-grouped past the first shipped chunk; "
+          "rerun with the whole-file decoder");
+    while (!eof) {
+      size_t have = file.read_id.size();
+      pull(have + have / 2 + (1 << 20));
+    }
+    group_targets(&file);  // file.n_reads was set by the EOF finish
+    // re-measure the longest per-read run for the device segment plan
+    int64_t mt = 0, run = 0;
+    int32_t last = -1;
+    for (size_t i = 0; i < file.read_id.size(); ++i) {
+      run = (file.read_id[i] == last) ? run + 1 : 1;
+      last = file.read_id[i];
+      if (run > mt) mt = run;
+    }
+    file.max_targets = mt;
+    file.grouped_input = true;  // the OUTPUT arrays are grouped now
+    regrouped = true;
   }
 
   // parse more input; for BAM stop once the target arrays reach
@@ -1638,9 +1675,11 @@ const char* stpu_stream_error(void* h) {
 void* stpu_stream_file(void* h) { return &static_cast<StpuStream*>(h)->file; }
 
 int stpu_stream_grouped(void* h) {
+  // "the arrays handed out are read-grouped": native fast path held, or
+  // the EOF counting-sort regroup ran (coordinate-sorted input)
   auto* s = static_cast<StpuStream*>(h);
   if (s->error.size()) return 0;
-  return s->dec().grouped ? 1 : 0;
+  return (s->dec().grouped || s->regrouped) ? 1 : 0;
 }
 
 int stpu_stream_eof(void* h) {
@@ -1671,6 +1710,7 @@ int64_t stpu_stream_next(void* h, int64_t min_targets) {
       int64_t have = static_cast<int64_t>(s->file.read_id.size());
       s->pull(static_cast<size_t>(std::max(cap, have)) + 4096);
     }
+    if (!s->dec().grouped && !s->regrouped) s->regroup_at_eof();
   } catch (const std::exception& e) {
     s->error = e.what();
     return -1;

@@ -1160,7 +1160,10 @@ def _profile_file_overlap(options: ProfileOptions, db: SlimmDatabase,
                           ) -> ProfileState | None:
     """Whole-file profile with decode/upload overlap (see profile_file).
     Returns None when the overlap path does not apply (no native stream,
-    non-grouped input, bins past uint16) — callers fall back."""
+    bins past uint16, mid-stream loss of read grouping) — callers fall
+    back.  Coordinate-sorted input works: the C++ stream decoder regroups
+    at EOF and the pieces upload then, still one fused dispatch and no
+    second decode."""
     from ..io import native
     if not native.available():
         return None
@@ -1427,9 +1430,11 @@ def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
                            sharded_runner=None) -> ProfileState:
     """Chunk-streaming profile of one (qname-grouped) SAM/BAM file.
 
-    Bit-identical to profile_file: the same dataflow, chunked.  Falls back
-    to the whole-file path when the native decoder is unavailable or the
-    input is not qname-grouped (coordinate-sorted BAMs).  With a
+    Bit-identical to profile_file: the same dataflow, chunked.
+    Coordinate-sorted input streams too (the C++ decoder regroups at EOF;
+    host memory O(targets) for that case).  Falls back to the whole-file
+    path when the native decoder is unavailable or the input loses read
+    grouping mid-stream after chunks shipped.  With a
     `sharded_runner` (ShardedRunner / MultiHostRunner) each chunk is routed
     over the data mesh and the coverage state may additionally be
     bin-sharded over the model axis — same integer psums as the whole-file

@@ -186,10 +186,16 @@ def sldb_roundtrip(in_path: str, out_path: str) -> None:
 class NativeStreamReader:
     """Chunk-streaming decoder: dedup'd targets in READ-COMPLETE chunks.
 
-    Requires qname-grouped input (mapper output order); `grouped` turns
-    False if a read reappears non-consecutively — callers fall back to
-    NativeAlignmentFile.  Shipped targets are compacted away in C++, so
-    decoder memory stays flat for arbitrarily large files.
+    qname-grouped input (mapper output order) streams with flat decoder
+    memory: shipped targets are compacted away in C++.  Non-grouped input
+    (samtools' default coordinate sort) is handled too — no read is
+    provably complete before EOF, so the decoder ingests to EOF, regroups
+    the dedup'd targets with one counting sort (host memory O(targets)),
+    and serves chunks from the grouped result; `grouped` stays True
+    because the OUTPUT arrays are grouped.  The only fallback left is the
+    mid-stream edge where the input stops being grouped after chunks were
+    already shipped (error mentions "not qname-grouped"; callers fall
+    back to NativeAlignmentFile).
     """
 
     def __init__(self, path: str, hash_names: bool = False,

@@ -206,21 +206,92 @@ def test_streaming_multihost_runner_single_process(toy_dir):
     assert_states_equal(st_w, st_s)
 
 
-def test_streaming_non_grouped_falls_back(toy_dir, tmp_path):
-    # coordinate-sorted-style input: a read reappears non-consecutively —
-    # streaming must fall back to the whole-file decode, same results
+def _non_grouped_records(n=200, stride=3):
+    # coordinate-sorted-style input: reads reappear non-consecutively
     records = []
-    for k in range(200):
+    for k in range(n):
         records.append((f"r{k}", 0, k % 5, 10 * k % 2500, 100))
-    for k in range(0, 200, 3):  # reappearances far from the first hit
+    for k in range(0, n, stride):  # reappearances far from the first hit
         records.append((f"r{k}", 0, (k + 1) % 5, 7 * k % 2500, 100))
+    return records
+
+
+def test_stream_reader_regroups_non_grouped(tmp_path):
+    # the C++ stream decoder regroups coordinate-sorted input at EOF
+    # (counting sort) instead of forcing a second whole-file decode:
+    # chunks come out read-grouped and identical to the whole-file arrays
+    records = _non_grouped_records()
     sam = write_sam(str(tmp_path), records, name="nongrouped.sam")
+    bam = write_bam(str(tmp_path), records, name="nongrouped.bam")
+    for path in (sam, bam):
+        whole = native.NativeAlignmentFile(path).load()
+        sr = native.NativeStreamReader(path)
+        parts = []
+        while True:
+            c = sr.next_chunk(64)
+            if c is None:
+                break
+            parts.append(c)
+        assert sr.grouped  # output contract: arrays are read-grouped
+        read_id = np.concatenate([c[0] for c in parts])
+        rid = np.concatenate([c[1] for c in parts])
+        assert np.all(read_id[:-1] <= read_id[1:])
+        np.testing.assert_array_equal(read_id,
+                                      whole.read_id.astype(np.int32))
+        np.testing.assert_array_equal(rid, whole.rid)
+        assert sr.totals()[:2] == (whole.n_reads, whole.hits_count)
+        # the regroup re-measures the longest run (whole-file decode
+        # reports 0 for non-grouped input and lets the host re-measure)
+        bnd = np.flatnonzero(np.r_[True, read_id[1:] != read_id[:-1], True])
+        assert sr.max_targets == int(np.diff(bnd).max()) > 1
+
+
+def test_streaming_non_grouped(toy_dir, tmp_path):
+    # chunk streaming on coordinate-sorted-style input rides the EOF
+    # regroup — bit-identical to the whole-file path, no Python fallback
+    sam = write_sam(str(tmp_path), _non_grouped_records(),
+                    name="nongrouped.sam")
     db = build_toy_db(toy_dir)
     st_w = profile_file(ProfileOptions(), copy.deepcopy(db), sam,
                         engine=EngineOptions(phase_log=False))
     st_s = profile_file_streaming(
         ProfileOptions(), copy.deepcopy(db), sam,
         engine=EngineOptions(phase_log=False), chunk_targets=64)
+    assert_states_equal(st_w, st_s)
+
+
+def test_overlap_non_grouped(toy_dir, tmp_path):
+    # the whole-file overlap path accepts coordinate-sorted input (the
+    # pieces upload after the EOF regroup, still one fused dispatch) —
+    # _profile_file_overlap must NOT bail to the standard path
+    from slimm_tpu.engine.pipeline import _profile_file_overlap
+
+    sam = write_sam(str(tmp_path), _non_grouped_records(400, 2),
+                    name="nongrouped2.sam")
+    db = build_toy_db(toy_dir)
+    st_w = profile_file(ProfileOptions(), copy.deepcopy(db), sam,
+                        engine=EngineOptions(phase_log=False,
+                                             overlap_min_bytes=0))
+    st_o = _profile_file_overlap(
+        ProfileOptions(), copy.deepcopy(db), sam,
+        EngineOptions(phase_log=False, overlap_piece_targets=2048))
+    assert st_o is not None, "overlap path fell back on non-grouped input"
+    assert_states_equal(st_w, st_o)
+
+
+def test_streaming_sharded_non_grouped(toy_dir, tmp_path):
+    # (data x model) sharded streaming over coordinate-sorted input
+    from slimm_tpu.parallel import ShardedRunner
+
+    sam = write_sam(str(tmp_path), _non_grouped_records(),
+                    name="nongrouped.sam")
+    db = build_toy_db(toy_dir)
+    st_w = profile_file(ProfileOptions(), copy.deepcopy(db), sam,
+                        engine=EngineOptions(phase_log=False))
+    st_s = profile_file_streaming(
+        ProfileOptions(), copy.deepcopy(db), sam,
+        engine=EngineOptions(phase_log=False), chunk_targets=64,
+        sharded_runner=ShardedRunner(num_shards=2, model_shards=2))
     assert_states_equal(st_w, st_s)
 
 
