@@ -31,6 +31,7 @@
 // Build: make -C native  (g++ -O3 -march=native, links zlib + pthread).
 
 #include <algorithm>
+#include <atomic>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -599,6 +600,12 @@ struct StrMap {
     }
     return -1;
   }
+
+  // key bytes of an interned id (valid for the map's lifetime)
+  std::pair<const char*, size_t> key(int32_t id) const {
+    uint64_t mt = meta[id];
+    return {arena.data() + (mt >> 24), mt & 0xFFFFFF};
+  }
 };
 
 // 64-bit-hash -> dense read id map: the scale mode for billion-read inputs
@@ -661,6 +668,16 @@ struct Hash64Map {
     ids[i] = static_cast<int32_t>(count++);
     return ids[i];
   }
+
+  bool contains(uint64_t h) const {
+    if (h == 0) h = 0x9E3779B97F4A7C15ull;
+    size_t i = h & mask;
+    while (keys[i]) {
+      if (keys[i] == h) return true;
+      i = (i + 1) & mask;
+    }
+    return false;
+  }
 };
 
 struct Decoder {
@@ -673,6 +690,9 @@ struct Decoder {
   // so they run pointer-mode with no per-record copy.
   bool copy_keys = false;
   Hash64Map hkey_to_id;
+  // parallel shard decode: mixed 64-bit key hash per NEW read id, in id
+  // order (drives the cross-shard duplicate bloom check + boundary stitch)
+  std::vector<uint64_t>* h64_log = nullptr;
   PairSet seen;  // (read, contig) first-hit dedup — fallback path only
   // Fast path for qname-grouped inputs (mapper output order): while every
   // reappearance of a read is consecutive, dedup is a linear scan of the
@@ -782,6 +802,7 @@ struct Decoder {
     int32_t id = hash_names
         ? hkey_to_id.intern(h64)
         : key_to_id.intern_hashed(a, n, b, m, static_cast<uint32_t>(h64));
+    if (h64_log && n_keys() > before) h64_log->push_back(h64);
     ++f->hits;
     if (grouped) {
       if (id == last_id) {
@@ -1480,6 +1501,202 @@ void stpu_close(void* h) { delete static_cast<StpuFile*>(h); }
 
 namespace {
 
+// -- parallel sharded SAM decode (raw mmap sources) --------------------------
+//
+// The serial SAM pipeline caps at two threads (tokenizer + consumer); on
+// multi-core hosts the decode — not the device — is the end-to-end
+// bottleneck (the fused TPU pipeline runs >10x one core).  For
+// memory-mapped plain-text SAM the file splits at line boundaries into N
+// byte ranges decoded by independent workers (each with its own
+// tokenizer, interner and first-hit dedup — the multi-host host-sharded
+// decode layout of parallel/multihost.py, in one process).  The serving
+// side appends worker output IN FILE ORDER, remapping shard-local read
+// ids to global ones and stitching the one read that can straddle each
+// cut (first-hit-wins dedup across the seam).  Per-shard groupedness
+// does not imply global qname-groupedness, so every shard logs the
+// 64-bit key hash of each read and a bloom-backed cross-shard duplicate
+// check runs as shards finish (exact verification on bloom hits; the
+// legal seam chain excepted).  Any violation errors the stream with the
+// "not qname-grouped" marker and callers fall back, exactly like the
+// serial mid-stream edge.
+
+// Minimum mapped-file size for the parallel decode (env-overridable so
+// tests can exercise it on small files).
+size_t parallel_min_bytes() {
+  if (const char* v = std::getenv("SLIMM_PARALLEL_MIN_BYTES")) {
+    long n = std::atol(v);
+    if (n > 0) return static_cast<size_t>(n);
+  }
+  return size_t(32) << 20;
+}
+
+struct TargetBatch {
+  std::vector<int32_t> read_id, rid, pos;
+};
+
+// SPSC batch queue; finish() publishes completion or a worker error,
+// rethrown by pop() once drained
+struct TargetQueue {
+  std::mutex m;
+  std::condition_variable cv;
+  std::deque<TargetBatch> q;
+  bool done = false;
+  std::string err;
+
+  void push(TargetBatch&& b) {
+    {
+      std::lock_guard<std::mutex> l(m);
+      q.push_back(std::move(b));
+    }
+    cv.notify_one();
+  }
+  void finish(const std::string& e = "") {
+    {
+      std::lock_guard<std::mutex> l(m);
+      done = true;
+      if (!e.empty()) err = e;
+    }
+    cv.notify_one();
+  }
+  bool pop(TargetBatch& b) {
+    std::unique_lock<std::mutex> l(m);
+    cv.wait(l, [&] { return !q.empty() || done; });
+    if (!q.empty()) {
+      b = std::move(q.front());
+      q.pop_front();
+      return true;
+    }
+    if (!err.empty()) throw DecodeError(err);
+    return false;
+  }
+};
+
+// double-probe bloom over mixed 64-bit key hashes (~1% false positives at
+// 16 bits/key; false positives only cost an exact hash-map probe)
+struct KeyBloom {
+  std::vector<uint64_t> words;
+  size_t mask = 0;
+
+  void init(size_t expected_keys) {
+    size_t bits = 1 << 16;
+    while (bits < expected_keys * 16 && bits < (size_t(1) << 31)) bits <<= 1;
+    words.assign(bits / 64, 0);
+    mask = bits - 1;
+  }
+  void add(uint64_t h) {
+    size_t a = h & mask, b = (h >> 32) & mask;
+    words[a >> 6] |= uint64_t(1) << (a & 63);
+    words[b >> 6] |= uint64_t(1) << (b & 63);
+  }
+  bool maybe(uint64_t h) const {
+    size_t a = h & mask, b = (h >> 32) & mask;
+    return ((words[a >> 6] >> (a & 63)) & 1) != 0 &&
+           ((words[b >> 6] >> (b & 63)) & 1) != 0;
+  }
+};
+
+struct SamShard {
+  const uint8_t* base = nullptr;
+  size_t begin_ = 0, end_ = 0;
+  SamParser parser;
+  StpuFile local;                // per-shard targets + counters
+  TargetQueue out;
+  std::vector<uint64_t> id_h64;  // key hash per local read id (id order)
+  KeyBloom bloom;
+  size_t bloom_added = 0;
+  // seam inputs, published (release) before the first batch
+  std::string first_key;         // key bytes (empty in hash mode)
+  uint64_t first_h64 = 0;
+  std::atomic<bool> first_ready{false};
+  std::atomic<bool> done{false};
+  size_t published = 0;          // targets moved to `out` (post-chop base)
+  std::thread th;
+
+  void start(bool hash_names) {
+    parser.dec.hash_names = hash_names;
+    parser.dec.h64_log = &id_h64;
+    size_t est = (end_ - begin_) / 250 + 1024;
+    parser.dec.reserve_keys(est);
+    id_h64.reserve(est);
+    bloom.init(est);
+    local.read_id.reserve(std::min(est, size_t(1) << 22));
+    local.rid.reserve(std::min(est, size_t(1) << 22));
+    local.pos.reserve(std::min(est, size_t(1) << 22));
+    th = std::thread([this] { run(); });
+  }
+
+  void capture_first() {
+    if (first_ready.load(std::memory_order_relaxed)) return;
+    if (parser.dec.n_keys() == 0) return;
+    first_h64 = id_h64[0];
+    if (!parser.dec.hash_names) {
+      auto kv = parser.dec.key_to_id.key(0);
+      first_key.assign(kv.first, kv.second);
+    }
+    first_ready.store(true, std::memory_order_release);
+  }
+
+  void publish(bool final_flush) {
+    capture_first();
+    for (size_t k = bloom_added; k < id_h64.size(); ++k)
+      bloom.add(id_h64[k]);
+    bloom_added = id_h64.size();
+    size_t upto = final_flush ? local.read_id.size() : parser.dec.run_start;
+    if (upto > published) {
+      TargetBatch b;
+      b.read_id.assign(local.read_id.begin() + published,
+                       local.read_id.begin() + upto);
+      b.rid.assign(local.rid.begin() + published,
+                   local.rid.begin() + upto);
+      b.pos.assign(local.pos.begin() + published,
+                   local.pos.begin() + upto);
+      published = upto;
+      out.push(std::move(b));
+    }
+    if (published >= (size_t(1) << 22)) {  // cap shard-local residency
+      auto chop = [&](std::vector<int32_t>& v) {
+        v.erase(v.begin(), v.begin() + published);
+      };
+      chop(local.read_id);
+      chop(local.rid);
+      chop(local.pos);
+      parser.dec.run_start -= published;
+      published = 0;
+    }
+  }
+
+  void run() {
+    try {
+      SamBatch b;
+      size_t pos = begin_;
+      while (pos < end_) {
+        size_t n = std::min(end_ - pos, static_cast<size_t>(8) << 20);
+        b.clear();
+        parser.tokenize(&local, base + pos, n, b);
+        parser.consume(&local, b);
+        pos += n;
+        if (!parser.dec.grouped)
+          throw DecodeError("input is not qname-grouped (read reappeared "
+                            "within a decode shard)");
+        publish(false);
+      }
+      b.clear();
+      parser.tokenize_finish(&local, b);
+      parser.consume(&local, b);
+      if (!parser.dec.grouped)
+        throw DecodeError("input is not qname-grouped (read reappeared "
+                          "within a decode shard)");
+      local.n_reads = static_cast<int64_t>(parser.dec.n_keys());
+      publish(true);
+      done.store(true, std::memory_order_release);
+      out.finish();
+    } catch (const std::exception& e) {
+      done.store(true, std::memory_order_release);
+      out.finish(e.what());
+    }
+  }
+};
+
 struct StpuStream {
   std::unique_ptr<ByteSource> src;
   StpuFile file;
@@ -1497,11 +1714,31 @@ struct StpuStream {
   std::unique_ptr<BatchQueue> bq;
   std::thread tok;
 
+  // -- parallel sharded decode state (raw mmap SAM) -------------------------
+  bool parallel = false;
+  std::vector<std::unique_ptr<SamShard>> shards;
+  size_t serve = 0;               // shard currently being appended
+  bool serve_begun = false;       // first batch of `serve` processed
+  bool serve_stitched = false;    // `serve`'s first read continues the prev
+  int64_t gid_offset = 0;         // local id -> global id for `serve`
+  int64_t greads = 0;             // distinct global reads through `serve`-1
+  int64_t last_gid = -1;
+  std::vector<int32_t> tail_rids;  // rids of the last appended read's run
+  int64_t tail_len = 0;
+  std::string last_key;           // last appended shard's final read key
+  uint64_t last_h64 = 0;
+  bool have_tail = false;
+  size_t shards_checked = 1;      // cross-dup checks done for shards [0, x)
+  int64_t psample_count = 0, psample_total = 0;  // probe avg-length sample
+  int64_t pmax_targets = 0;
+
   ~StpuStream() {
     if (tok.joinable()) {
       bq->abandon();
       tok.join();
     }
+    for (auto& sh : shards)
+      if (sh->th.joinable()) sh->th.join();
   }
 
   Decoder& dec() { return sam ? sam->dec : bam->dec; }
@@ -1530,6 +1767,12 @@ struct StpuStream {
 
   // targets safe to hand out: everything before the current run
   int64_t completed() {
+    if (parallel) {
+      int64_t sz = static_cast<int64_t>(file.read_id.size());
+      if (eof) return sz - consumed;
+      // the tail run may still extend across the next shard seam
+      return sz - tail_len - consumed;
+    }
     if (eof && (dec().grouped || regrouped))
       return static_cast<int64_t>(file.read_id.size()) - consumed;
     if (!dec().grouped) return 0;  // awaiting the EOF regroup
@@ -1613,8 +1856,299 @@ struct StpuStream {
     erase_front(file.read_id);
     erase_front(file.rid);
     erase_front(file.pos);
-    dec().run_start -= static_cast<size_t>(consumed);
+    if (!parallel) dec().run_start -= static_cast<size_t>(consumed);
     consumed = 0;
+  }
+
+  // -- parallel sharded decode (see the section comment above) --------------
+
+  // Tokenize-only probe of the file head: the exact average-read-length
+  // sample (first <=100k nonempty-seq records in file order,
+  // misc.hpp:509-522) plus a grouped-input hint — a key reappearing
+  // non-consecutively within the probe means coordinate-sorted input, for
+  // which the serial path (and its EOF regroup) is the right mode.
+  bool probe_head(const uint8_t* map, size_t map_size, size_t header_end,
+                  const StrMap& rid_of) {
+    SamParser pp;
+    pp.rid_of = rid_of;
+    StpuFile scratch;
+    Hash64Map seen;
+    seen.reserve_keys(1 << 17);
+    uint64_t prev_h = 0;
+    bool have_prev = false;
+    bool grouped_hint = true;
+
+    auto eat = [&](const SamBatch& bb) {
+      for (const SamRec& r : bb.recs) {
+        if (psample_count < 100000 && r.seq_len > 0) {
+          psample_total += r.seq_len;
+          ++psample_count;
+        }
+        const char* q = r.q ? r.q : bb.arena.data() + r.arena_off;
+        const char* sfx = (r.flag & FLAG_FIRST) ? ".1" : ".2";
+        size_t sn = (r.flag & (FLAG_FIRST | FLAG_LAST)) ? 2 : 0;
+        uint64_t h = StrMap::hash2_64(q, r.qlen, sfx, sn);
+        if (!have_prev || h != prev_h) {
+          if (seen.contains(h)) {
+            grouped_hint = false;
+            return false;
+          }
+          seen.intern(h);
+          prev_h = h;
+          have_prev = true;
+        }
+      }
+      return true;
+    };
+
+    size_t pos = header_end;
+    SamBatch b;
+    while (pos < map_size && psample_count < 100000 && grouped_hint) {
+      size_t n = std::min(map_size - pos, static_cast<size_t>(4) << 20);
+      b.clear();
+      pp.tokenize(&scratch, map + pos, n, b);
+      pos += n;
+      if (pos >= map_size) pp.tokenize_finish(&scratch, b);
+      if (!eat(b)) break;
+    }
+    return grouped_hint;
+  }
+
+  // Returns true when parallel mode is fully initialized (header parsed,
+  // sample complete, workers running); false -> caller takes the serial
+  // path (small file, coordinate-sorted hint, no sample).
+  bool init_parallel(const uint8_t* map, size_t map_size, bool hash_names) {
+    SamParser hp;  // header parse on the main thread (workers need rid_of)
+    size_t pos = 0;
+    while (pos < map_size && map[pos] == '@') {
+      const void* nl = memchr(map + pos, '\n', map_size - pos);
+      size_t e = nl ? static_cast<size_t>(
+                          static_cast<const uint8_t*>(nl) - map)
+                    : map_size;
+      ++hp.line_no;
+      hp.handle_header(&file, reinterpret_cast<const char*>(map) + pos,
+                       reinterpret_cast<const char*>(map) + e);
+      pos = e + (nl ? 1 : 0);
+    }
+    size_t header_end = pos;
+    if (!probe_head(map, map_size, header_end, hp.rid_of)) return false;
+    if (psample_count == 0) return false;  // serial path raises properly
+    // Worker count: on a 2-core host the serial tokenizer/consumer
+    // pipeline is already 2-thread optimal and sharding only adds
+    // oversubscription (measured 0.71s vs 0.64s on the 4M-record bench
+    // SAM), so parallel mode needs >= 3 cores; one core is left for the
+    // consumer/upload thread.  SLIMM_DECODE_THREADS overrides (tests,
+    // tuning).
+    unsigned hw = std::max(1u, std::thread::hardware_concurrency());
+    unsigned workers = hw >= 3 ? hw - 1 : 0;
+    if (const char* t = std::getenv("SLIMM_DECODE_THREADS")) {
+      long v = std::atol(t);
+      if (v > 0) workers = static_cast<unsigned>(v);
+    }
+    if (workers < 2) return false;
+    size_t span = parallel_min_bytes() / 2;
+    if (span < 65536) span = 65536;
+    size_t n_sh = std::min<size_t>(workers,
+                                   (map_size - header_end) / span);
+    if (n_sh < 2) return false;
+
+    std::vector<size_t> cuts(n_sh + 1);
+    cuts[0] = header_end;
+    cuts[n_sh] = map_size;
+    size_t stride = (map_size - header_end) / n_sh;
+    for (size_t k = 1; k < n_sh; ++k) {
+      size_t c = header_end + k * stride;
+      const void* nl = memchr(map + c, '\n', map_size - c);
+      c = nl ? static_cast<size_t>(static_cast<const uint8_t*>(nl) - map) + 1
+             : map_size;
+      cuts[k] = std::max(c, cuts[k - 1]);
+    }
+    for (size_t k = 0; k < n_sh; ++k) {
+      auto sh = std::make_unique<SamShard>();
+      sh->base = map;
+      sh->begin_ = cuts[k];
+      sh->end_ = cuts[k + 1];
+      sh->parser.rid_of = hp.rid_of;  // copy: contig name -> header index
+      shards.push_back(std::move(sh));
+    }
+    for (auto& sh : shards) sh->start(hash_names);
+    parallel = true;
+    return true;
+  }
+
+  static bool exact_contains(SamShard& si, SamShard& sj, int32_t k) {
+    if (sj.parser.dec.hash_names)
+      return si.parser.dec.hkey_to_id.contains(sj.id_h64[k]);
+    auto kv = sj.parser.dec.key_to_id.key(k);
+    return si.parser.dec.key_to_id.find(kv.first, kv.second) >= 0;
+  }
+
+  // A key may legally appear in shards i and j>i only as the seam chain:
+  // local id 0 of shard j, shard i's LAST read, with every shard between
+  // holding exactly that one read.
+  bool seam_allowed(size_t i, size_t j, int32_t k) {
+    if (k != 0) return false;
+    SamShard& sj = *shards[j];
+    uint64_t h = sj.id_h64[0];
+    auto matches = [&](SamShard& s, int64_t id) {
+      if (id < 0 || static_cast<size_t>(id) >= s.id_h64.size()) return false;
+      if (s.id_h64[id] != h) return false;
+      if (s.parser.dec.hash_names) return true;
+      auto a = s.parser.dec.key_to_id.key(static_cast<int32_t>(id));
+      auto b = sj.parser.dec.key_to_id.key(0);
+      return a.second == b.second &&
+             memcmp(a.first, b.first, a.second) == 0;
+    };
+    if (!matches(*shards[i],
+                 static_cast<int64_t>(shards[i]->id_h64.size()) - 1))
+      return false;
+    for (size_t m = i + 1; m < j; ++m) {
+      if (shards[m]->id_h64.size() != 1) return false;
+      if (!matches(*shards[m], 0)) return false;
+    }
+    return true;
+  }
+
+  // Cross-shard duplicate detection: runs for shard j once shards [0, j]
+  // are all done (their intern maps and blooms are then immutable).
+  // All checks complete before eof is reported.
+  void run_dup_checks() {
+    while (shards_checked < shards.size()) {
+      size_t j = shards_checked;
+      for (size_t i = 0; i <= j; ++i)
+        if (!shards[i]->done.load(std::memory_order_acquire)) return;
+      SamShard& sj = *shards[j];
+      for (size_t k = 0; k < sj.id_h64.size(); ++k) {
+        uint64_t h = sj.id_h64[k];
+        for (size_t i = 0; i < j; ++i) {
+          if (!shards[i]->bloom.maybe(h)) continue;
+          if (!exact_contains(*shards[i], sj, static_cast<int32_t>(k)))
+            continue;
+          if (!seam_allowed(i, j, static_cast<int32_t>(k)))
+            throw DecodeError(
+                "input is not qname-grouped (a read reappears across "
+                "decode shards); use the whole-file decoder");
+        }
+      }
+      ++shards_checked;
+    }
+  }
+
+  // rids of the current last run in the caller-visible arrays (lazily
+  // collected only when a seam has to be dedup'd)
+  void collect_tail_rids() {
+    tail_rids.clear();
+    size_t e = file.read_id.size();
+    if (e == 0) return;
+    int32_t lastv = file.read_id[e - 1];
+    size_t t = e;
+    while (t > 0 && file.read_id[t - 1] == lastv) --t;
+    for (size_t i = t; i < e; ++i) tail_rids.push_back(file.rid[i]);
+  }
+
+  // Append one worker batch to the caller-visible arrays: bulk memcpy +
+  // vectorizable id remap, with per-record work only on the seam prefix
+  // (the continuation of the previous shard's last read, dedup'd
+  // first-hit-wins across the cut — read_stat.hpp:116-135 semantics).
+  // This runs on the consumer thread and must stay cheap: it competes
+  // with the decode workers for cores.
+  void append_batch(SamShard& sh, TargetBatch& b) {
+    size_t start = 0;
+    size_t n = b.read_id.size();
+    if (!serve_begun) {
+      serve_begun = true;
+      bool st = false;
+      if (have_tail && sh.first_ready.load(std::memory_order_acquire)) {
+        st = sh.first_h64 == last_h64 &&
+             (sh.parser.dec.hash_names || sh.first_key == last_key);
+      }
+      serve_stitched = st;
+      gid_offset = greads - (st ? 1 : 0);
+      if (st) {
+        // seam prefix: all local-id-0 records sit in this first batch
+        // (worker batches end at run boundaries)
+        collect_tail_rids();
+        while (start < n && b.read_id[start] == 0) {
+          int32_t r = b.rid[start];
+          bool dup = false;
+          for (int32_t t : tail_rids)
+            if (t == r) {
+              dup = true;
+              break;
+            }
+          if (!dup) {
+            tail_rids.push_back(r);
+            ++tail_len;
+            file.read_id.push_back(static_cast<int32_t>(gid_offset));
+            file.rid.push_back(r);
+            file.pos.push_back(b.pos[start]);
+          }
+          ++start;
+        }
+        if (tail_len > pmax_targets) pmax_targets = tail_len;
+      }
+    }
+    size_t m = n - start;
+    if (m == 0) return;
+    size_t base_sz = file.read_id.size();
+    file.read_id.resize(base_sz + m);
+    const int32_t off = static_cast<int32_t>(gid_offset);
+    const int32_t* src_id = b.read_id.data() + start;
+    int32_t* dst = file.read_id.data() + base_sz;
+    for (size_t i = 0; i < m; ++i) dst[i] = src_id[i] + off;
+    file.rid.insert(file.rid.end(), b.rid.begin() + start, b.rid.end());
+    file.pos.insert(file.pos.end(), b.pos.begin() + start, b.pos.end());
+    // track the current tail run (completed() withholds it until the
+    // seam with the next shard resolves); per-shard run maxima come from
+    // the workers' own counters at finish_shard
+    size_t e = file.read_id.size();
+    int32_t lastv = file.read_id[e - 1];
+    size_t t = e - 1;
+    while (t > 0 && file.read_id[t - 1] == lastv) --t;
+    tail_len = static_cast<int64_t>(e - t);
+    last_gid = lastv;
+    tail_rids.clear();  // re-collected lazily at the next seam
+  }
+
+  void finish_shard(size_t j) {
+    SamShard& sh = *shards[j];
+    file.hits += sh.local.hits;
+    file.malformed += sh.local.malformed;
+    if (sh.local.max_targets > pmax_targets)
+      pmax_targets = sh.local.max_targets;
+    int64_t nk = static_cast<int64_t>(sh.parser.dec.n_keys());
+    greads += nk - (serve_begun && serve_stitched ? 1 : 0);
+    if (nk > 0) {
+      last_h64 = sh.id_h64.back();
+      if (!sh.parser.dec.hash_names) {
+        auto kv = sh.parser.dec.key_to_id.key(static_cast<int32_t>(nk - 1));
+        last_key.assign(kv.first, kv.second);
+      }
+      have_tail = true;
+    }
+  }
+
+  // one unit of progress: append one batch, or transition shards, or
+  // finalize at EOF (mirrors pull()'s contract for the serial modes)
+  void pull_parallel() {
+    run_dup_checks();
+    while (serve < shards.size()) {
+      TargetBatch b;
+      if (shards[serve]->out.pop(b)) {  // rethrows worker errors
+        append_batch(*shards[serve], b);
+        return;
+      }
+      finish_shard(serve);
+      ++serve;
+      serve_begun = false;
+      serve_stitched = false;
+    }
+    run_dup_checks();  // all shards done here; must pass before eof
+    file.n_reads = greads;
+    file.max_targets = pmax_targets;
+    file.grouped_input = true;
+    file.warning = src->warning();
+    eof = true;
   }
 };
 
@@ -1636,13 +2170,28 @@ void* stpu_stream_open2(const char* path, int flags) {
       s->bam_st->buf = std::move(first);
       s->bam->init(*s->bam_st, &s->file);  // header + refs complete
     } else {
-      s->sam = std::make_unique<SamParser>();
-      s->sam->dec.hash_names = hash_names;
-      if (size_t hint = s->src->size_hint())
-        s->sam->dec.reserve_keys(hint / 200 + 1024);
-      if (have_first) s->sam->feed(&s->file, first.data(), first.size());
-      // pull until the header is provably complete (first data line) or EOF
-      while (!s->eof && s->sam->data_lines == 0) s->pull(1);
+      // Parallel sharded decode for big memory-mapped plain SAM (see the
+      // SamShard section): N workers over line-aligned byte ranges; the
+      // probe inside init_parallel completes the avg-read-length sample
+      // and routes coordinate-sorted input to the serial path (whose EOF
+      // regroup handles it with flat worker count).  Capped at 4 GB maps:
+      // parallel mode buffers out-of-order shards, so the truly huge
+      // files keep the flat-memory serial pipeline.
+      auto* raw = dynamic_cast<RawSource*>(s->src.get());
+      bool can_par = raw && raw->map && !(flags & 2) &&
+                     raw->map_size >= parallel_min_bytes() &&
+                     raw->map_size <= (size_t(4) << 30) &&
+                     std::thread::hardware_concurrency() >= 2;
+      if (!(can_par &&
+            s->init_parallel(raw->map, raw->map_size, hash_names))) {
+        s->sam = std::make_unique<SamParser>();
+        s->sam->dec.hash_names = hash_names;
+        if (size_t hint = s->src->size_hint())
+          s->sam->dec.reserve_keys(hint / 200 + 1024);
+        if (have_first) s->sam->feed(&s->file, first.data(), first.size());
+        // pull until the header is provably complete (first data line)
+        while (!s->eof && s->sam->data_lines == 0) s->pull(1);
+      }
     }
     // pipelined tokenize/consume for the rest of the stream (SAM + mmap);
     // started before the sampling pulls below so they too overlap
@@ -1652,8 +2201,9 @@ void* stpu_stream_open2(const char* path, int flags) {
     // bin_width derives from it (slimm.hpp:412-413) and the reference
     // samples the file head (misc.hpp:509-522), so a small first chunk
     // must not freeze a partial running average.  Buffers at most ~100k
-    // records' targets (~1.2 MB) — decoder memory stays flat.
-    while (!s->eof && s->dec().sample_count < 100000)
+    // records' targets (~1.2 MB) — decoder memory stays flat.  (Parallel
+    // mode sampled inside init_parallel's probe.)
+    while (!s->parallel && !s->eof && s->dec().sample_count < 100000)
       s->pull(s->file.read_id.size() + 4096);
   } catch (const std::exception& e) {
     s->error = e.what();
@@ -1675,10 +2225,12 @@ const char* stpu_stream_error(void* h) {
 void* stpu_stream_file(void* h) { return &static_cast<StpuStream*>(h)->file; }
 
 int stpu_stream_grouped(void* h) {
-  // "the arrays handed out are read-grouped": native fast path held, or
-  // the EOF counting-sort regroup ran (coordinate-sorted input)
+  // "the arrays handed out are read-grouped": native fast path held, the
+  // EOF counting-sort regroup ran (coordinate-sorted input), or the
+  // parallel sharded decode is serving (errors out otherwise)
   auto* s = static_cast<StpuStream*>(h);
   if (s->error.size()) return 0;
+  if (s->parallel) return 1;
   return (s->dec().grouped || s->regrouped) ? 1 : 0;
 }
 
@@ -1691,6 +2243,8 @@ int stpu_stream_eof(void* h) {
 // completes the sample before handing out chunks)
 int64_t stpu_stream_avg_len(void* h) {
   auto* s = static_cast<StpuStream*>(h);
+  if (s->parallel)
+    return s->psample_count ? s->psample_total / s->psample_count : 0;
   if (!s->sam && !s->bam) return 0;
   auto& d = s->dec();
   return d.sample_count ? d.sample_total / d.sample_count : 0;
@@ -1702,6 +2256,10 @@ int64_t stpu_stream_next(void* h, int64_t min_targets) {
   auto* s = static_cast<StpuStream*>(h);
   if (!s->error.empty()) return -1;
   try {
+    if (s->parallel) {
+      while (!s->eof && s->completed() < min_targets) s->pull_parallel();
+      return s->completed();
+    }
     while (!s->eof && s->completed() < min_targets &&
            s->dec().grouped) {
       // slack past min so the run boundary usually lands inside; the cap

@@ -295,6 +295,123 @@ def test_streaming_sharded_non_grouped(toy_dir, tmp_path):
     assert_states_equal(st_w, st_s)
 
 
+def _force_parallel(monkeypatch, threads=3):
+    # the parallel sharded decode normally needs a >=32MB mmap and >=3
+    # cores; force it for small test files
+    monkeypatch.setenv("SLIMM_PARALLEL_MIN_BYTES", "65536")
+    monkeypatch.setenv("SLIMM_DECODE_THREADS", str(threads))
+
+
+def test_parallel_decode_matches_whole_file(tmp_path, monkeypatch):
+    # parallel sharded decode (N workers over byte ranges, order-preserving
+    # merge) must produce the exact whole-file arrays, counters, sample
+    _force_parallel(monkeypatch)
+    ds = build_toy_dataset(str(tmp_path), n_extra=30000, seed=3)
+    whole = native.NativeAlignmentFile(ds.sam_path).load()
+    sr = native.NativeStreamReader(ds.sam_path)
+    parts = []
+    while True:
+        c = sr.next_chunk(512)
+        if c is None:
+            break
+        parts.append(c)
+    assert len(parts) > 1
+    read_id = np.concatenate([c[0] for c in parts])
+    np.testing.assert_array_equal(read_id, whole.read_id.astype(np.int32))
+    np.testing.assert_array_equal(np.concatenate([c[1] for c in parts]),
+                                  whole.rid)
+    np.testing.assert_array_equal(np.concatenate([c[2] for c in parts]),
+                                  whole.pos)
+    assert sr.totals()[:2] == (whole.n_reads, whole.hits_count)
+    assert sr.avg_read_length == whole.avg_read_length
+    assert sr.max_targets == whole.max_targets
+
+
+def test_parallel_decode_seam_dedup(tmp_path, monkeypatch):
+    # every read repeats its targets ([0,1,2,0,1,2]) so wherever the shard
+    # cuts land, the seam read's continuation must dedup first-hit-wins
+    # across the cut; many small shards maximize seam coverage
+    _force_parallel(monkeypatch, threads=4)
+    records = []
+    for k in range(20000):
+        for rep in range(2):
+            for c in range(3):
+                records.append((f"s{k:06d}", 0, c, (11 * k + c) % 2500, 24))
+    sam = write_sam(str(tmp_path), records, name="seam.sam")
+    sr = native.NativeStreamReader(sam)
+    parts = []
+    while True:
+        c = sr.next_chunk(4096)
+        if c is None:
+            break
+        parts.append(c)
+    read_id = np.concatenate([c[0] for c in parts])
+    rid = np.concatenate([c[1] for c in parts])
+    pos = np.concatenate([c[2] for c in parts])
+    # exactly 3 dedup'd targets per read, with the FIRST occurrence's pos
+    assert sr.totals()[0] == 20000
+    assert len(read_id) == 60000
+    assert sr.max_targets == 3
+    np.testing.assert_array_equal(np.bincount(read_id),
+                                  np.full(20000, 3))
+    np.testing.assert_array_equal(rid.reshape(20000, 3),
+                                  np.tile([0, 1, 2], (20000, 1)))
+    ks = np.arange(20000)[:, None]
+    np.testing.assert_array_equal(
+        pos.reshape(20000, 3), (11 * ks + np.arange(3)[None, :]) % 2500)
+    # and the whole-file decoder agrees bit-for-bit
+    whole = native.NativeAlignmentFile(sam).load()
+    np.testing.assert_array_equal(read_id, whole.read_id.astype(np.int32))
+    np.testing.assert_array_equal(rid, whole.rid)
+    np.testing.assert_array_equal(pos, whole.pos)
+
+
+def test_parallel_decode_cross_shard_duplicate_fails_over(tmp_path,
+                                                          monkeypatch):
+    # a read reappearing BEYOND the probe coverage (probe stops after the
+    # 4MB window holding the 100k-th sample) defeats the groupedness
+    # probe; the bloom-backed cross-shard check must catch it and the
+    # profile path must fall back to the (order-insensitive) whole-file
+    # decode with identical results
+    _force_parallel(monkeypatch)
+    records = [(f"a{k:06d}", 0, k % 5, (13 * k) % 2500, 8)
+               for k in range(300000)]
+    records.append(("a000050", 0, 2, 99, 8))   # far-away reappearance
+    sam = write_sam(str(tmp_path), records, name="lateshuffle.sam")
+    sr = native.NativeStreamReader(sam)
+    with pytest.raises(ValueError, match="not qname-grouped"):
+        while sr.next_chunk(4096) is not None:
+            pass
+    db = build_toy_db(build_toy_dataset(str(tmp_path)))
+    st_w = profile_file(ProfileOptions(), copy.deepcopy(db), sam,
+                        engine=EngineOptions(phase_log=False))
+    st_s = profile_file_streaming(
+        ProfileOptions(), copy.deepcopy(db), sam,
+        engine=EngineOptions(phase_log=False), chunk_targets=8192)
+    assert_states_equal(st_w, st_s)
+
+
+def test_parallel_decode_full_profile(tmp_path, monkeypatch):
+    # end-to-end: overlap path + chunk streaming over the parallel decoder
+    _force_parallel(monkeypatch)
+    ds = build_toy_dataset(str(tmp_path), n_extra=12000, seed=21)
+    db = build_toy_db(ds)
+    monkeypatch.setenv("SLIMM_PARALLEL_MIN_BYTES", "1000000000")
+    st_serial = profile_file(ProfileOptions(), copy.deepcopy(db),
+                             ds.sam_path,
+                             engine=EngineOptions(phase_log=False))
+    monkeypatch.setenv("SLIMM_PARALLEL_MIN_BYTES", "65536")
+    st_ovl = profile_file(
+        ProfileOptions(), copy.deepcopy(db), ds.sam_path,
+        engine=EngineOptions(phase_log=False, overlap_min_bytes=1,
+                             overlap_piece_targets=4096))
+    st_str = profile_file_streaming(
+        ProfileOptions(), copy.deepcopy(db), ds.sam_path,
+        engine=EngineOptions(phase_log=False), chunk_targets=4096)
+    assert_states_equal(st_serial, st_ovl)
+    assert_states_equal(st_serial, st_str)
+
+
 def test_streaming_v1_int32_positions_matches(toy_dir, monkeypatch):
     # bin tables past uint16 fall back to the v1 transfer (int32
     # positions, host pack_records_compact, decode-ahead thread) — force
