@@ -1404,6 +1404,151 @@ void group_targets(StpuFile* f) {
 
 extern "C" {
 
+// -- acc2taxid resolve (slimm_build.cpp:175-278 semantics) -------------------
+//
+// Streams an accession2taxid TSV (plain, gzip or BGZF via open_source) and
+// resolves the given accession list against it, replicating the
+// reference's batched flow exactly: col 1 = accession, col 3 = taxid
+// (failed integer parse -> 0, like C++ stream extraction); every
+// non-empty line counts toward the batch; WITHIN a batch of `batch`
+// mappings the last occurrence of an accession wins, and an accession is
+// frozen (resolved) at its batch's end, after which later lines are
+// ignored; early exit once every accession resolved.  The Python builder
+// keeps this loop as the fallback — at RefSeq scale the mapping files
+// are ~50 GB and the line loop is the build bottleneck.
+//
+// accs/offs: concatenated accession bytes + n+1 offsets.  out_idx /
+// out_taxid (capacity n_accs) receive the resolved (index, taxid) pairs;
+// returns the number resolved, or -1 with `err` filled.
+int64_t stpu_acc2taxid_scan(const char* path, const char* accs,
+                            const int64_t* offs, int64_t n_accs,
+                            int64_t batch, int64_t* out_idx,
+                            uint32_t* out_taxid, char* err, int errcap) {
+  try {
+    StrMap map;
+    map.reserve_keys(static_cast<size_t>(n_accs));
+    for (int64_t i = 0; i < n_accs; ++i)
+      map.intern(accs + offs[i], static_cast<size_t>(offs[i + 1] - offs[i]),
+                 nullptr, 0);  // intern order == index
+
+    std::vector<uint8_t> resolved(static_cast<size_t>(n_accs), 0);
+    std::vector<uint32_t> taxid(static_cast<size_t>(n_accs), 0);
+    std::vector<uint8_t> touched(static_cast<size_t>(n_accs), 0);
+    std::vector<int64_t> batch_idx;
+    int64_t n_resolved = 0;
+    int64_t in_batch = 0;
+    if (batch <= 0) batch = 1000000;
+
+    auto flush_batch = [&]() {
+      for (int64_t i : batch_idx) {
+        touched[i] = 0;
+        if (!resolved[i]) {
+          resolved[i] = 1;
+          ++n_resolved;
+        }
+      }
+      batch_idx.clear();
+      in_batch = 0;
+    };
+
+    auto line = [&](const char* p, const char* e) {
+      const char* t1 = static_cast<const char*>(memchr(p, '\t', e - p));
+      const char* a_end = t1 ? t1 : e;
+      if (a_end == p) return;  // empty accession column: skipped, uncounted
+      ++in_batch;
+      int32_t idx = map.find(p, static_cast<size_t>(a_end - p));
+      if (idx >= 0 && !resolved[idx]) {
+        // taxid = int(col3.split()[0]) with 0 on any parse failure
+        // (python semantics in database.stream_acc2taxid_batches, itself
+        // matching C++11 stream extraction in slimm_build.cpp:183-193)
+        uint32_t t = 0;
+        if (t1) {
+          const char* t2 =
+              static_cast<const char*>(memchr(t1 + 1, '\t', e - t1 - 1));
+          if (t2) {
+            const char* q = t2 + 1;
+            const char* ce =
+                static_cast<const char*>(memchr(q, '\t', e - q));
+            if (!ce) ce = e;
+            auto is_ws = [](char c) {
+              return c == ' ' || c == '\r' || c == '\v' || c == '\f';
+            };
+            while (q < ce && is_ws(*q)) ++q;
+            const char* te = q;
+            uint64_t v = 0;
+            bool ok = false;
+            while (te < ce && !is_ws(*te)) {
+              if (*te < '0' || *te > '9') {
+                ok = false;
+                te = ce;
+                break;
+              }
+              v = v * 10 + static_cast<uint64_t>(*te - '0');
+              ok = true;
+              ++te;
+            }
+            if (ok) t = static_cast<uint32_t>(v);
+          }
+        }
+        taxid[idx] = t;  // last occurrence within the batch wins
+        if (!touched[idx]) {
+          touched[idx] = 1;
+          batch_idx.push_back(idx);
+        }
+      }
+      if (in_batch >= batch) flush_batch();
+    };
+
+    auto src = open_source(path);
+    std::string carry;
+    const uint8_t* p;
+    size_t n;
+    bool done = false;
+    while (!done && src->next_view(&p, &n)) {
+      const char* s = reinterpret_cast<const char*>(p);
+      const char* e = s + n;
+      if (!carry.empty()) {
+        const char* nl = static_cast<const char*>(memchr(s, '\n', n));
+        if (!nl) {
+          carry.append(s, n);
+          continue;
+        }
+        carry.append(s, nl - s);
+        line(carry.data(), carry.data() + carry.size());
+        carry.clear();
+        s = nl + 1;
+      }
+      while (s < e) {
+        const char* nl = static_cast<const char*>(memchr(s, '\n', e - s));
+        if (!nl) {
+          carry.assign(s, e - s);
+          break;
+        }
+        line(s, nl);
+        s = nl + 1;
+        if (n_resolved == n_accs) {
+          done = true;
+          break;
+        }
+      }
+    }
+    if (!carry.empty()) line(carry.data(), carry.data() + carry.size());
+    flush_batch();
+
+    int64_t k = 0;
+    for (int64_t i = 0; i < n_accs; ++i)
+      if (resolved[i]) {
+        out_idx[k] = i;
+        out_taxid[k] = taxid[i];
+        ++k;
+      }
+    return k;
+  } catch (const std::exception& e) {
+    snprintf(err, static_cast<size_t>(errcap), "%s", e.what());
+    return -1;
+  }
+}
+
 // flags: bit 0 = hash read names (64-bit-hash keys, no name arena - the
 // billion-read scale mode; distinct colliding names merge); bit 1 =
 // single-thread decode (the honest single-core baseline configuration —

@@ -41,6 +41,9 @@ class BuildOptions:
     output_path: str = "slimm_db.sldb"
     batch: int = 1000000
     verbose: bool = False
+    # Use the native C++ acc2taxid scanner when built (same resolution
+    # semantics as the python fallback; ~50x on RefSeq-scale mapping files).
+    use_native: bool = True
 
 
 @dataclass

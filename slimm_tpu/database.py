@@ -196,9 +196,33 @@ def build_database(options: BuildOptions) -> SlimmDatabase:
     db = SlimmDatabase()
     print("[MSG] mapping accessions to taxaid ...", file=sys.stderr)
     accessions_count = len(accessions)
+
+    use_native = False
+    if options.use_native:
+        from .io import native as _native
+        use_native = _native.available()
+
     for file_no, map_path in enumerate(options.ac__taxid_paths, 1):
         if not accessions:
             break
+        if use_native:
+            # native batched scan (stpu_acc2taxid_scan): same resolution
+            # semantics, ~50x the python line loop — the mapping files are
+            # ~50 GB at RefSeq scale (slimm_build.cpp:175-278)
+            if options.verbose:
+                print(f"[VERBOSE MSG] mapping file: [{file_no}/"
+                      f"{len(options.ac__taxid_paths)}]\t(native scan)\t"
+                      f"accessions left: "
+                      f"[{len(accessions)}/{accessions_count}]",
+                      file=sys.stderr)
+            found = _native.acc2taxid_scan(map_path, sorted(accessions),
+                                           options.batch)
+            for acc, taxid in found.items():
+                lineage = [0] * LINEAGE_LENGTH
+                lineage[0] = taxid
+                db.ac__taxid[acc] = lineage
+            accessions -= found.keys()
+            continue
         for iter_no, batch in enumerate(
                 stream_acc2taxid_batches(map_path, options.batch), 1):
             if not accessions:

@@ -314,6 +314,38 @@ class NativeStreamReader:
             pass
 
 
+def acc2taxid_scan(path: str, accessions: list, batch: int = 1000000):
+    """Resolve accessions against one accession2taxid TSV in C++
+    (native stpu_acc2taxid_scan; plain, gzip or BGZF input), replicating
+    the reference's batched semantics (slimm_build.cpp:175-278).  Returns
+    {accession: taxid} for the resolved subset."""
+    lib = load_library()
+    if not hasattr(lib.stpu_acc2taxid_scan, "_configured"):
+        lib.stpu_acc2taxid_scan.restype = ctypes.c_int64
+        lib.stpu_acc2taxid_scan.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.stpu_acc2taxid_scan._configured = True
+    accs = list(accessions)
+    raw = [a.encode() for a in accs]
+    offs = np.zeros(len(raw) + 1, np.int64)
+    np.cumsum([len(r) for r in raw], out=offs[1:])
+    blob = b"".join(raw)
+    out_idx = np.empty(max(len(raw), 1), np.int64)
+    out_tax = np.empty(max(len(raw), 1), np.uint32)
+    err = ctypes.create_string_buffer(512)
+    k = lib.stpu_acc2taxid_scan(path.encode(), blob, offs, len(raw),
+                                batch, out_idx, out_tax, err, len(err))
+    if k < 0:
+        raise ValueError(f"{path}: {err.value.decode()}")
+    return {accs[int(out_idx[i])]: int(out_tax[i]) for i in range(k)}
+
+
 def dedup_targets(read_id, rid, pos):
     """First-hit (read, contig) dedup in C++; returns (targets, seconds)."""
     lib = load_library()

@@ -34,6 +34,56 @@ def test_build_database_missed_file(toy_dir):
     assert open(missed).read().strip() == "NC_000099"
 
 
+def test_build_database_native_matches_python(toy_dir):
+    # the C++ acc2taxid scanner and the python batch loop must build the
+    # exact same DB (incl. the missed set)
+    from slimm_tpu.io import native as native_mod
+    if not native_mod.available():
+        import pytest
+        pytest.skip("native library not built")
+    opts = dict(fasta_path=toy_dir.fasta_path,
+                ac__taxid_paths=[toy_dir.acc2taxid_path],
+                names_path=toy_dir.names_path, nodes_path=toy_dir.nodes_path,
+                output_path=os.path.join(toy_dir.dir, "toy.sldb"))
+    db_n = build_database(BuildOptions(**opts, use_native=True))
+    db_p = build_database(BuildOptions(**opts, use_native=False))
+    assert db_n.ac__taxid == db_p.ac__taxid
+    assert db_n.taxid__name == db_p.taxid__name
+
+
+def test_native_acc2taxid_scan_semantics(tmp_path):
+    # reference batch semantics (slimm_build.cpp:175-278): last occurrence
+    # within a batch wins, resolution freezes at the batch boundary, parse
+    # failures yield 0, early exit once everything resolved
+    from slimm_tpu.io import native as native_mod
+    if not native_mod.available():
+        import pytest
+        pytest.skip("native library not built")
+    p = str(tmp_path / "map.tsv")
+    with open(p, "w") as f:
+        f.write("accession\taccession.version\ttaxid\tgi\n")
+        f.write("A1\tA1.1\t100\t0\n")
+        f.write("A2\tA2.1\t200\t0\n")
+        f.write("A2\tA2.1\t250\t0\n")   # same batch: last wins
+        f.write("A3\tA3.1\tbogus\t0\n")  # int() failure -> 0
+        f.write("A4\tA4.1\n")            # no taxid column -> 0
+        f.write("A6\tA6.1\t 600 x\t0\n")  # split()[0] == "600"
+        f.write("A2\tA2.1\t999\t0\n")
+    from slimm_tpu.database import stream_acc2taxid_batches
+    for batch in (1000000, 3, 1):
+        out = native_mod.acc2taxid_scan(
+            p, ["A1", "A2", "A3", "A4", "A6", "MISSING"], batch)
+        accs = {"A1", "A2", "A3", "A4", "A6", "MISSING"}
+        ref = {}
+        for b in stream_acc2taxid_batches(p, batch):
+            found = accs & b.keys()
+            for a in found:
+                ref[a] = b[a]
+            accs -= found
+        assert out == ref, f"batch={batch}"
+        assert "MISSING" not in out
+
+
 def test_sldb_round_trip(toy_dir, tmp_path):
     db = build_toy_db(toy_dir)
     path = str(tmp_path / "rt.sldb")
