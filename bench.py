@@ -19,7 +19,11 @@ Driver target (BASELINE.md): >=10x reads/s per chip vs single-core C++.
 
 Env knobs: SLIMM_BENCH_RECORDS (default 8_000_000), SLIMM_BENCH_CONTIGS (50),
 SLIMM_BENCH_REPS (5), SLIMM_BENCH_E2E_RECORDS (default 4_000_000 — a ~1.3 GB
-SAM; representative of a real per-sample alignment file).
+SAM; representative of a real per-sample alignment file),
+SLIMM_BENCH_LARGE_RECORDS (default 10_000_000 over a 1000-contig DB — the
+BASELINE.md 1k-genome config; 0 skips), SLIMM_BENCH_STREAM_RECORDS
+(default 32_000_000 chunk-streamed from a ~10 GB SAM incl. decode — the
+BASELINE.md streamed config; 0 skips).
 """
 
 import json
@@ -294,6 +298,119 @@ def bench_end_to_end(n_records, n_contigs, seed=1):
     }
 
 
+def write_bench_sam(path, w, n_contigs, block=1 << 20):
+    """Write the workload as a SAM file in bounded-memory line blocks."""
+    names = [f"ctg{c}" for c in range(n_contigs)]
+    seq = "ACGT" * (w["avg_read_len"] // 4)
+    qual = "I" * w["avg_read_len"]
+    rid, pos, read = w["rid"], w["pos"], w["read_id"]
+    with open(path, "wt", buffering=1 << 22) as f:
+        f.write("@HD\tVN:1.6\n")
+        for c, name in enumerate(names):
+            f.write(f"@SQ\tSN:{name}\tLN:{int(w['lengths'][c])}\n")
+        for lo in range(0, len(rid), block):
+            hi = min(lo + block, len(rid))
+            f.write("\n".join(
+                f"r{read[i]}\t0\tctg{rid[i]}\t{pos[i] + 1}\t60\t"
+                f"{w['avg_read_len']}M\t*\t0\t0\t{seq}\t{qual}"
+                for i in range(lo, hi)) + "\n")
+    return os.path.getsize(path) / 2**20
+
+
+def bench_large_db(reps):
+    """BASELINE.md config: ~1k-genome DB x 10M records, whole-file device
+    pipeline (bin domain ~8.4M: past the Pallas crossover, XLA scatter
+    path) vs the single-core baseline on the same arrays."""
+    n_records = int(os.environ.get("SLIMM_BENCH_LARGE_RECORDS", 10_000_000))
+    if n_records <= 0:
+        return {}
+    w = make_workload(n_records, 1000, seed=2)
+    base_secs, _ = bench_baseline(w, 3)
+    latency, sustained, _ = bench_device(w, min(reps, 3))
+    n = len(w["read_id"])
+    return {
+        "large_records": n,
+        "large_contigs": 1000,
+        "large_device_secs": round(sustained, 4),
+        "large_latency_secs": round(latency, 4),
+        "large_records_per_s": round(n / sustained),
+        "large_baseline_secs": round(base_secs, 4),
+        "large_vs_baseline": round(base_secs / sustained, 2),
+    }
+
+
+def bench_streaming_config(n_contigs):
+    """BASELINE.md config: chunk-streamed profile of a file bigger than
+    any sensible single upload (decode + chunked device passes + reports),
+    sustained records/s INCLUDING decode, vs the single-core baseline
+    end-to-end on the same file."""
+    import copy
+    import shutil
+    import tempfile
+
+    from slimm_tpu.config import EngineOptions, ProfileOptions
+    from slimm_tpu.database import SlimmDatabase
+    from slimm_tpu.engine.pipeline import profile_file_streaming
+    from slimm_tpu.engine.reports import write_abundance
+
+    n_records = int(os.environ.get("SLIMM_BENCH_STREAM_RECORDS", 32_000_000))
+    if n_records <= 0:
+        return {}
+    # ~322 B/record of SAM text; skip gracefully when disk is short
+    need = n_records * 340
+    if shutil.disk_usage(tempfile.gettempdir()).free < need * 1.3:
+        return {"stream_skipped": "insufficient disk"}
+
+    w = make_workload(n_records, n_contigs, seed=3)
+    db = SlimmDatabase()
+    for c in range(n_contigs):
+        db.ac__taxid[f"ctg{c}"] = w["lineage"][c].tolist()
+        for lvl in range(8):
+            tid = int(w["lineage"][c, lvl])
+            db.taxid__name.setdefault(tid, (lvl, f"taxon{tid}"))
+
+    tmp = tempfile.mkdtemp(prefix="slimm_bench_stream_")
+    sam = os.path.join(tmp, "stream.sam")
+    size_mb = write_bench_sam(sam, w, n_contigs)
+
+    def one():
+        t0 = time.perf_counter()
+        st = profile_file_streaming(
+            copy.deepcopy(ProfileOptions()), db, sam,
+            engine=EngineOptions(phase_log=False, fetch_coverage=False))
+        write_abundance(st, os.path.join(tmp, "out/"), sam)
+        return st, time.perf_counter() - t0
+
+    st, warm_secs = one()          # includes one-time jit compile
+    st, secs = one()
+    assert st.hits_count == len(w["read_id"])
+
+    # single-core C++ end-to-end on the same file (decode + hot loops)
+    from slimm_tpu.io import native
+    b0 = time.perf_counter()
+    af = native.NativeAlignmentFile(sam, single_thread=True)
+    batch = af.load()
+    bsecs, counters = native.baseline_profile(
+        batch.read_id.astype(np.int32), batch.rid, batch.pos,
+        batch.n_reads, w["lengths"], w["lineage"],
+        batch.avg_read_length, batch.avg_read_length)
+    base_e2e = time.perf_counter() - b0
+    assert counters["matches"] == st.matches_count
+    del batch, af
+
+    os.remove(sam)
+    n = int(st.hits_count)
+    return {
+        "stream_records": n,
+        "stream_contigs": n_contigs,
+        "stream_input_mb": round(size_mb, 1),
+        "stream_secs": round(secs, 3),
+        "stream_records_per_s": round(n / secs),
+        "stream_baseline_e2e_secs": round(base_e2e, 3),
+        "stream_vs_baseline_e2e": round(base_e2e / secs, 2),
+    }
+
+
 def main():
     n_records = int(os.environ.get("SLIMM_BENCH_RECORDS", 8_000_000))
     n_contigs = int(os.environ.get("SLIMM_BENCH_CONTIGS", 50))
@@ -311,6 +428,8 @@ def main():
     latency_secs, sustained_secs, latency_h2d_secs = bench_device(w, reps)
     e2e = bench_end_to_end(
         int(os.environ.get("SLIMM_BENCH_E2E_RECORDS", 4_000_000)), n_contigs)
+    large = bench_large_db(reps)
+    stream = bench_streaming_config(n_contigs)
 
     dev_rps = n / sustained_secs
     base_rps = n / base_secs
@@ -328,6 +447,8 @@ def main():
         "backend": _backend_name(),
     }
     result.update(e2e)
+    result.update(large)
+    result.update(stream)
     print(json.dumps(result))
 
 
