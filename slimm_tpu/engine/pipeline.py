@@ -1300,6 +1300,23 @@ def _pass_a_chunk_jit(cov, uniq_cov, um, bnd, rid_small, pos, n_valid,
     return cov + a["cov"], uniq_cov + a["uniq_cov"], um + a["uniq_matches"]
 
 
+@partial(jax.jit, static_argnames=("emit",))
+def _pack_stream_jit(rc, urc, nzc, nzu, u2_acc, valid, um, um2, cc, ucc,
+                     taxon, pair_acc, bin_offset, bin_ends, *, emit):
+    """Assemble the streaming finalize outputs into the standard packed
+    int32 vector (unpack_stats layout + bitpacked pair tail) on device —
+    the whole host finalize then needs ONE fetch round trip."""
+    u2 = (_boundary_sums(u2_acc, bin_offset, bin_ends) if emit else u2_acc)
+    scalars = jnp.stack([
+        um, um2,
+        jax.lax.bitcast_convert_type(cc, jnp.int32),
+        jax.lax.bitcast_convert_type(ucc, jnp.int32),
+        jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)])
+    return jnp.concatenate([rc, urc, nzc, nzu, u2,
+                            valid.astype(jnp.int32), scalars, taxon,
+                            _pack_bits_words(pair_acc > 0)])
+
+
 @jax.jit
 def _cutoffs_jit(cov, uniq_cov, bin_offset, bin_ends, q):
     rc, nzc = _contig_sums_nz(cov, bin_offset, bin_ends)
@@ -1610,25 +1627,14 @@ def profile_file_streaming(options: ProfileOptions, db: SlimmDatabase,
             use_pallas=use_pallas, emit_coverage=emit, pos_is_bin=pos_is_bin)
     timer.lap()
 
-    # ---- host finalize via the shared packed layout ----
-    rc_n, urc_n, nzc_n, nzu_n = (np.asarray(rc), np.asarray(urc),
-                                 np.asarray(nzc), np.asarray(nzu))
-    if emit:
-        u2_row = _boundary_sums(u2_acc, bin_offset, bin_ends)
-        u2_n = np.asarray(u2_row)
-    else:
-        u2_n = np.asarray(u2_acc)
-    scalars = np.zeros(_N_SCALARS, np.int32)
-    scalars[0] = int(np.asarray(um))
-    scalars[1] = int(np.asarray(um2))
-    scalars[2] = np.float32(np.asarray(cc)).view(np.int32)
-    scalars[3] = np.float32(np.asarray(ucc)).view(np.int32)
-    packed = np.concatenate([
-        rc_n, urc_n, nzc_n, nzu_n, u2_n,
-        np.asarray(valid).astype(np.int32), scalars,
-        np.asarray(taxon)]).astype(np.int32)
+    # ---- host finalize via the shared packed layout: everything the
+    # abundance path needs is assembled on DEVICE into the standard
+    # packed vector (pair bits in the tail) and comes back in ONE fetch —
+    # separate np.asarray fetches cost ~26 ms each on the tunnel ----
+    packed = np.asarray(_pack_stream_jit(
+        rc, urc, nzc, nzu, u2_acc, valid, um, um2, cc, ucc, taxon,
+        pair_acc, bin_offset, bin_ends, emit=emit))
     out = dict(packed=packed)
-    out["pair_bits"] = np.asarray(jax.jit(_pack_bits_u8)(pair_acc))
     if emit:
         out.update(cov=cov, uniq_cov=uniq_cov, uniq_cov2=u2_acc)
     t2 = PhaseTimer(enabled=engine.phase_log)

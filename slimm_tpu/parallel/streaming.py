@@ -43,8 +43,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..config import EngineOptions, ProfileOptions
 from ..database import SlimmDatabase
 from ..engine import pipeline as _pl
-from ..engine.pipeline import (_N_SCALARS, _bucket, _contig_sums_nz,
-                               _pass_a_local, _pass_b_local, _quantile2_dev,
+from ..engine.pipeline import (_bucket, _contig_sums_nz, _pass_a_local,
+                               _pass_b_local, _quantile2_dev,
                                _unpack_read_groups, plan_from_max_run,
                                seg_plan)
 from ..state import ProfileState
@@ -384,7 +384,8 @@ class ShardedStreamSession:
             return fn
         M, emit = self.M, self.emit
 
-        def shard_fn(u2, taxon, um2, pair, boff, bends):
+        def shard_fn(u2, taxon, um2, pair, rc, urc, nzc, nzu, valid, um_t,
+                     cc, ucc, boff, bends):
             if emit:
                 u2m = jax.lax.psum(u2, "data")[0]   # merged bin slice
                 if M > 1:
@@ -399,20 +400,30 @@ class ShardedStreamSession:
             taxon_t = jax.lax.psum(taxon, "data")[0]
             um2_t = jax.lax.psum(um2, "data")[0]
             # per-shard 0/1 presence; the int32 psum is exact at any shard
-            # count; bitpacked for the 8x-smaller host fetch
+            # count; bitpacked into the packed tail (8x-smaller fetch)
             ph = jax.lax.psum(pair.astype(jnp.int32), "data")[0]
-            outs = (u2row, taxon_t, um2_t, _pl._pack_bits_u8(ph > 0))
+            # ONE replicated packed vector (unpack_stats layout + pair
+            # tail): the whole host finalize fetches once
+            scalars = jnp.stack([
+                um_t, um2_t,
+                jax.lax.bitcast_convert_type(cc, jnp.int32),
+                jax.lax.bitcast_convert_type(ucc, jnp.int32),
+                jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)])
+            packed = jnp.concatenate([
+                rc, urc, nzc, nzu, u2row, valid.astype(jnp.int32), scalars,
+                taxon_t, _pl._pack_bits_words(ph > 0)])
+            outs = (packed,)
             if emit:
                 outs = outs + (u2m,)
             return outs
 
         hist_out = P("model") if M > 1 else P()
         u2_spec = self._cov_spec if emit else P("data", None)
-        out_specs = (P(),) * 4 + ((hist_out,) if emit else ())
+        out_specs = (P(),) + ((hist_out,) if emit else ())
         mapped = jax.shard_map(
             shard_fn, mesh=self.mesh,
-            in_specs=(u2_spec, P("data", None), P("data"), P("data", None),
-                      P(), P()),
+            in_specs=(u2_spec, P("data", None), P("data"), P("data", None))
+                     + (P(),) * 10,
             out_specs=out_specs)
         fn = jax.jit(mapped)
         self._jit_cache[key] = fn
@@ -420,24 +431,13 @@ class ShardedStreamSession:
 
     def finalize_out(self) -> dict:
         """Assemble the same `out` dict the single-device streaming driver
-        hands to engine.pipeline._finalize_state."""
-        outs = self._get_finalize()(self.u2, self.taxon, self.um2, self.pair,
-                                    self._boff, self._bends)
-        u2row, taxon_t, um2_t, pair_merged = outs[:4]
-        u2m = outs[4] if self.emit else None
-
-        scalars = np.zeros(_N_SCALARS, np.int32)
-        scalars[0] = int(np.asarray(self.um_total))
-        scalars[1] = int(np.asarray(um2_t))
-        scalars[2] = np.float32(np.asarray(self.cc)).view(np.int32)
-        scalars[3] = np.float32(np.asarray(self.ucc)).view(np.int32)
-        packed = np.concatenate([
-            np.asarray(self.rc), np.asarray(self.urc), np.asarray(self.nzc),
-            np.asarray(self.nzu), np.asarray(u2row),
-            np.asarray(self.valid).astype(np.int32), scalars,
-            np.asarray(taxon_t)]).astype(np.int32)
-        out = dict(packed=packed)
-        out["pair_bits"] = np.asarray(pair_merged)
+        hands to engine.pipeline._finalize_state — one packed fetch."""
+        outs = self._get_finalize()(
+            self.u2, self.taxon, self.um2, self.pair, self.rc, self.urc,
+            self.nzc, self.nzu, self.valid, self.um_total, self.cc,
+            self.ucc, self._boff, self._bends)
+        u2m = outs[1] if self.emit else None
+        out = dict(packed=np.asarray(outs[0]))
         if self.emit:
             out.update(cov=np.asarray(self.cov_merged),
                        uniq_cov=np.asarray(self.uniq_cov_merged),
