@@ -2791,3 +2791,215 @@ double stpu_baseline_profile(
 }
 
 }  // extern "C"
+
+// -- ancestor propagation (state.propagate_counts, slimm.hpp:559-610) --------
+//
+// The Python host finalize walks dict-of-set children structures taxid by
+// taxid; at full-RefSeq cardinality (tens of thousands of LCA taxids x
+// thousands of contigs) the set unions dominate the host tail (~7 s
+// measured at 50k contigs / 62k taxids).  This native path replicates the
+// EXACT sequential semantics of ProfileState.propagate_counts — pass 1 in
+// ascending-taxid order over the snapshot with live mutation of the
+// children map, pass 2 in ascending contig order — with children sets as
+// sorted small-vectors that promote to contig-bitsets past 256 elements.
+// The Python loop stays as the spec and fallback; parity is locked by
+// tests/test_state.py on a large synthetic state.
+
+namespace {
+
+struct TaxSet {
+  // small: sorted unique contig ids; past kSmallMax promotes to a bitset.
+  std::vector<int32_t> small;
+  std::vector<uint64_t> bits;  // non-empty => promoted
+  static constexpr size_t kSmallMax = 256;
+
+  bool promoted() const { return !bits.empty(); }
+  bool empty() const { return small.empty() && bits.empty(); }
+
+  void promote(size_t words) {
+    bits.assign(words, 0);
+    for (int32_t e : small)
+      bits[static_cast<uint32_t>(e) >> 6] |= 1ull << (e & 63);
+    small.clear();
+    small.shrink_to_fit();
+  }
+  void add(int32_t e, size_t words) {
+    if (promoted()) {
+      bits[static_cast<uint32_t>(e) >> 6] |= 1ull << (e & 63);
+      return;
+    }
+    auto it = std::lower_bound(small.begin(), small.end(), e);
+    if (it != small.end() && *it == e) return;
+    small.insert(it, e);
+    if (small.size() > kSmallMax) promote(words);
+  }
+  void merge_from(const TaxSet& src, size_t words) {
+    if (src.empty()) return;
+    if (!promoted() && !src.promoted()) {
+      std::vector<int32_t> out;
+      out.reserve(small.size() + src.small.size());
+      std::set_union(small.begin(), small.end(), src.small.begin(),
+                     src.small.end(), std::back_inserter(out));
+      small.swap(out);
+      if (small.size() > kSmallMax) promote(words);
+      return;
+    }
+    if (!promoted()) promote(words);
+    if (src.promoted()) {
+      for (size_t w = 0; w < words; ++w) bits[w] |= src.bits[w];
+    } else {
+      for (int32_t e : src.small)
+        bits[static_cast<uint32_t>(e) >> 6] |= 1ull << (e & 63);
+    }
+  }
+  // smallest element; -1 when empty
+  int32_t min_elem() const {
+    if (promoted()) {
+      for (size_t w = 0; w < bits.size(); ++w)
+        if (bits[w]) return static_cast<int32_t>((w << 6) +
+                         __builtin_ctzll(bits[w]));
+      return -1;
+    }
+    return small.empty() ? -1 : small[0];
+  }
+  size_t count() const {
+    if (!promoted()) return small.size();
+    size_t n = 0;
+    for (uint64_t w : bits) n += static_cast<size_t>(__builtin_popcountll(w));
+    return n;
+  }
+  // append elements ascending
+  void emit(std::vector<int32_t>& out) const {
+    if (!promoted()) {
+      out.insert(out.end(), small.begin(), small.end());
+      return;
+    }
+    for (size_t w = 0; w < bits.size(); ++w) {
+      uint64_t v = bits[w];
+      while (v) {
+        out.push_back(static_cast<int32_t>((w << 6) + __builtin_ctzll(v)));
+        v &= v - 1;
+      }
+    }
+  }
+};
+
+struct PropSlot {
+  int64_t count = 0;
+  uint8_t flags = 0;  // bit0: in taxon_id__read_count, bit1: in children map
+  TaxSet set;
+};
+
+struct PropagateResult {
+  std::vector<int64_t> taxids;
+  std::vector<int64_t> counts;
+  std::vector<uint8_t> flags;
+  std::vector<int64_t> choff;  // per-slot children CSR offsets (k_out + 1)
+  std::vector<int32_t> cch;    // flattened children, ascending per slot
+};
+
+}  // namespace
+
+extern "C" {
+
+// Computes the propagation; on success returns a handle and fills
+// out_slots / out_elems with the output CSR sizes.  Inputs:
+//   lineage:    int64[n_contigs * 8], level 0 (strain) .. 7 (superkingdom)
+//   tax/cnt/rnk: the read-count snapshot, ascending taxid order (k entries)
+//   ctax/coff/cch: the initial children map as CSR (kc keys, any order;
+//                  elements need not be sorted)
+//   c2idx/c2cnt: pass-2 contigs (ascending index) and uniq_reads_count2
+// Returns nullptr on semantic errors the Python loop would raise on
+// (missing/empty children for a snapshot taxid) — callers fall back.
+void* stpu_propagate_run(int32_t n_contigs, const int64_t* lineage,
+                         int64_t k, const int64_t* tax, const int64_t* cnt,
+                         const int32_t* rnk, int64_t kc, const int64_t* ctax,
+                         const int64_t* coff, const int32_t* cch,
+                         int64_t m, const int32_t* c2idx,
+                         const int64_t* c2cnt, int64_t* out_slots,
+                         int64_t* out_elems) {
+  const size_t words = (static_cast<size_t>(n_contigs) + 63) >> 6;
+  std::unordered_map<int64_t, PropSlot> slots;
+  slots.reserve(static_cast<size_t>(k + kc) * 2 + 16);
+
+  for (int64_t i = 0; i < kc; ++i) {
+    PropSlot& s = slots[ctax[i]];
+    s.flags |= 2;
+    for (int64_t j = coff[i]; j < coff[i + 1]; ++j)
+      s.set.add(cch[j], words);
+  }
+  for (int64_t i = 0; i < k; ++i) {
+    PropSlot& s = slots[tax[i]];
+    s.flags |= 1;
+    s.count += cnt[i];
+  }
+
+  // pass 1: snapshot order (ascending taxid), live children mutation
+  for (int64_t i = 0; i < k; ++i) {
+    auto it = slots.find(tax[i]);
+    // children[t_id] raises in Python when missing/empty (min of empty set)
+    if (it == slots.end() || !(it->second.flags & 2) ||
+        it->second.set.empty())
+      return nullptr;
+    const int32_t first_child = it->second.set.min_elem();
+    if (first_child < 0 || first_child >= n_contigs) return nullptr;
+    TaxSet ref_ids = it->second.set;  // copy, like `set(children)`
+    const int64_t* lin = lineage + static_cast<int64_t>(first_child) * 8;
+    for (int32_t j = rnk[i] + 1; j < 8; ++j) {
+      PropSlot& r = slots[lin[j]];
+      r.flags |= 3;
+      r.count += cnt[i];
+      r.set.merge_from(ref_ids, words);
+    }
+  }
+
+  // pass 2: ascending contig order
+  for (int64_t i = 0; i < m; ++i) {
+    const int32_t c = c2idx[i];
+    if (c < 0 || c >= n_contigs) return nullptr;
+    const int64_t* lin = lineage + static_cast<int64_t>(c) * 8;
+    PropSlot& s0 = slots[lin[0]];  // setdefault side effect
+    s0.flags |= 2;
+    TaxSet ref_ids = s0.set;  // copy BEFORE the pushes
+    for (int32_t j = 1; j < 8; ++j) {
+      PropSlot& r = slots[lin[j]];
+      r.flags |= 3;
+      r.count += c2cnt[i];
+      r.set.add(c, words);
+      r.set.merge_from(ref_ids, words);
+    }
+  }
+
+  auto* res = new PropagateResult();
+  res->taxids.reserve(slots.size());
+  res->counts.reserve(slots.size());
+  res->flags.reserve(slots.size());
+  res->choff.reserve(slots.size() + 1);
+  res->choff.push_back(0);
+  size_t total = 0;
+  for (auto& kv : slots) total += kv.second.set.count();
+  res->cch.reserve(total);
+  for (auto& kv : slots) {
+    res->taxids.push_back(kv.first);
+    res->counts.push_back(kv.second.count);
+    res->flags.push_back(kv.second.flags);
+    kv.second.set.emit(res->cch);
+    res->choff.push_back(static_cast<int64_t>(res->cch.size()));
+  }
+  *out_slots = static_cast<int64_t>(res->taxids.size());
+  *out_elems = static_cast<int64_t>(res->cch.size());
+  return res;
+}
+
+void stpu_propagate_take(void* handle, int64_t* taxids, int64_t* counts,
+                         uint8_t* flags, int64_t* choff, int32_t* cch) {
+  auto* res = static_cast<PropagateResult*>(handle);
+  memcpy(taxids, res->taxids.data(), res->taxids.size() * 8);
+  memcpy(counts, res->counts.data(), res->counts.size() * 8);
+  memcpy(flags, res->flags.data(), res->flags.size());
+  memcpy(choff, res->choff.data(), res->choff.size() * 8);
+  if (!res->cch.empty()) memcpy(cch, res->cch.data(), res->cch.size() * 4);
+  delete res;
+}
+
+}  // extern "C"

@@ -1093,9 +1093,16 @@ def _finalize_state(st, out, dense, total_bins, engine, options, timer):
                      dense.sk_dense[np.maximum(code, 8) - 8]
                      if len(dense.sk_dense) else 0)
     pairs = np.unique(np.stack([lca_d, r], axis=1), axis=0)
-    for d, r_ in pairs.tolist():
-        tid = int(dense.dense_to_tid[d])
-        st.taxon_id__children.setdefault(tid, set()).add(int(r_))
+    # grouped set fills: pairs is lexicographically sorted, so one slice
+    # per distinct LCA (the per-pair add loop cost ~5x this at full-RefSeq
+    # pair counts)
+    d_vals, starts = np.unique(pairs[:, 0], return_index=True)
+    bounds = np.append(starts, len(pairs))
+    tids = dense.dense_to_tid[d_vals]
+    col = pairs[:, 1]
+    for i, tid in enumerate(tids.tolist()):
+        st.taxon_id__children.setdefault(int(tid), set()).update(
+            col[starts[i]:bounds[i + 1]].tolist())
 
     st.propagate_counts()
     timer.lap()

@@ -346,6 +346,60 @@ def acc2taxid_scan(path: str, accessions: list, batch: int = 1000000):
     return {accs[int(out_idx[i])]: int(out_tax[i]) for i in range(k)}
 
 
+def propagate(n_contigs: int, lineage, tax, cnt, rnk, ctax, coff, cch,
+              c2idx, c2cnt):
+    """Ancestor propagation (ProfileState.propagate_counts semantics) in
+    C++ (stpu_propagate_run) — the host-finalize hot path at full-RefSeq
+    cardinality.  Returns (taxids, counts, flags, choff, cch) arrays, or
+    None when the native path declines (missing/empty children — the
+    Python loop raises there, so callers must fall back to it)."""
+    lib = load_library()
+    if not hasattr(lib.stpu_propagate_run, "_configured"):
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.stpu_propagate_run.restype = ctypes.c_void_p
+        lib.stpu_propagate_run.argtypes = [
+            ctypes.c_int32, i64p,
+            ctypes.c_int64, i64p, i64p, i32p,
+            ctypes.c_int64, i64p, i64p, i32p,
+            ctypes.c_int64, i32p, i64p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.stpu_propagate_take.restype = None
+        lib.stpu_propagate_take.argtypes = [
+            ctypes.c_void_p, i64p, i64p,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            i64p, i32p,
+        ]
+        lib.stpu_propagate_run._configured = True
+    lineage = np.ascontiguousarray(lineage, np.int64)
+    tax = np.ascontiguousarray(tax, np.int64)
+    cnt = np.ascontiguousarray(cnt, np.int64)
+    rnk = np.ascontiguousarray(rnk, np.int32)
+    ctax = np.ascontiguousarray(ctax, np.int64)
+    coff = np.ascontiguousarray(coff, np.int64)
+    cch = np.ascontiguousarray(cch, np.int32)
+    c2idx = np.ascontiguousarray(c2idx, np.int32)
+    c2cnt = np.ascontiguousarray(c2cnt, np.int64)
+    n_slots = ctypes.c_int64()
+    n_elems = ctypes.c_int64()
+    h = lib.stpu_propagate_run(
+        np.int32(n_contigs), lineage, len(tax), tax, cnt, rnk,
+        len(ctax), ctax, coff, cch, len(c2idx), c2idx, c2cnt,
+        ctypes.byref(n_slots), ctypes.byref(n_elems))
+    if not h:
+        return None
+    k = int(n_slots.value)
+    out_tax = np.empty(k, np.int64)
+    out_cnt = np.empty(k, np.int64)
+    out_flags = np.empty(k, np.uint8)
+    out_choff = np.empty(k + 1, np.int64)
+    out_cch = np.empty(max(int(n_elems.value), 1), np.int32)
+    lib.stpu_propagate_take(h, out_tax, out_cnt, out_flags, out_choff,
+                            out_cch)
+    return out_tax, out_cnt, out_flags, out_choff, out_cch[:int(n_elems.value)]
+
+
 def dedup_targets(read_id, rid, pos):
     """First-hit (read, contig) dedup in C++; returns (targets, seconds)."""
     lib = load_library()

@@ -241,6 +241,14 @@ class ProfileState:
 
     # -- ancestor propagation (slimm.hpp:559-610) ------------------------------
 
+    #: LCA-taxid count past which propagate_counts routes to the native
+    #: C++ implementation (same sequential semantics, children sets as
+    #: bitsets — ~20x the Python loop at full-RefSeq cardinality).  The
+    #: Python loop below stays the spec: tests (incl. the fuzz sweep) run
+    #: under the threshold, and test_state locks native == Python parity
+    #: on a large synthetic state.
+    NATIVE_PROPAGATE_MIN = 4096
+
     def propagate_counts(self):
         """Runs after per-read LCA counts and children sets are in
         taxon_id__read_count / taxon_id__children.
@@ -254,6 +262,9 @@ class ProfileState:
         Pass 2: each contig's uniq_reads_count2 is added to every ancestor
         (levels 1..7) of that contig's lineage.
         """
+        if (len(self.taxon_id__read_count) >= self.NATIVE_PROPAGATE_MIN
+                and self._propagate_native()):
+            return
         snapshot = dict(self.taxon_id__read_count)
         for t_id in sorted(snapshot):
             count = snapshot[t_id]
@@ -280,6 +291,72 @@ class ProfileState:
                 ch.add(i)
                 ch.update(ref_ids)
 
+    def _propagate_native(self) -> bool:
+        """Native C++ propagate_counts (stpu_propagate_run): exact
+        sequential semantics of the loop above.  Returns False when the
+        native library is absent or declines (the loop then runs — and
+        raises — exactly as before)."""
+        try:
+            from .io import native
+            if not native.available():
+                return False
+        except Exception:  # pragma: no cover - import environment issues
+            return False
+        n_contigs = len(self.accessions)
+        # name_of per snapshot key first: replicates the pure loop's
+        # insert-on-miss side effect on taxid__name and yields the ranks
+        tax = np.fromiter(sorted(self.taxon_id__read_count), np.int64,
+                          len(self.taxon_id__read_count))
+        cnt = np.fromiter((self.taxon_id__read_count[int(t)] for t in tax),
+                          np.int64, len(tax))
+        rnk = np.fromiter((self.name_of(int(t))[0] for t in tax), np.int32,
+                          len(tax))
+        lineage = np.asarray(
+            [self.lineage_of_acc(a) for a in self.accessions], np.int64
+        ).reshape(n_contigs, LINEAGE_LENGTH)
+        ch_items = list(self.taxon_id__children.items())
+        ctax = np.fromiter((t for t, _ in ch_items), np.int64, len(ch_items))
+        sizes = np.fromiter((len(s) for _, s in ch_items), np.int64,
+                            len(ch_items))
+        coff = np.zeros(len(ch_items) + 1, np.int64)
+        np.cumsum(sizes, out=coff[1:])
+        cch = np.empty(int(coff[-1]), np.int32)
+        for i, (_, s) in enumerate(ch_items):
+            cch[coff[i]:coff[i + 1]] = list(s)
+        c2idx = np.flatnonzero(self.uniq_reads_count2 > 0).astype(np.int32)
+        c2cnt = self.uniq_reads_count2[c2idx].astype(np.int64)
+        res = native.propagate(n_contigs, lineage, tax, cnt, rnk, ctax,
+                               coff, cch, c2idx, c2cnt)
+        if res is None:
+            return False
+        out_tax, out_cnt, out_flags, out_choff, out_cch = res
+        counts = {}
+        children = {}
+        choff_list = out_choff.tolist()
+        cnt_list = out_cnt.tolist()
+        flag_list = out_flags.tolist()
+        # children become sorted int32 array views into the CSR payload —
+        # materializing Python sets for ~10M total elements costs 10x the
+        # propagation itself.  min()/iteration consumers handle both
+        # representations (see _first_child / abundance_rows).
+        for i, t in enumerate(out_tax.tolist()):
+            f = flag_list[i]
+            if f & 1:
+                counts[t] = cnt_list[i]
+            if f & 2:
+                children[t] = out_cch[choff_list[i]:choff_list[i + 1]]
+        self.taxon_id__read_count = counts
+        self.taxon_id__children = children
+        return True
+
+    @staticmethod
+    def _first_child(children) -> int:
+        """min() over a children entry — a Python set (pure path) or a
+        sorted int32 array (native propagate path)."""
+        if isinstance(children, np.ndarray):
+            return int(children[0])
+        return min(children)
+
     # -- report rows -----------------------------------------------------------
 
     def lineage_string(self, rank: int, lineage) -> str:
@@ -300,7 +377,7 @@ class ProfileState:
         if taxa_id == 0:
             lineage = [0] * LINEAGE_LENGTH
         else:
-            first_child = min(self.taxon_id__children[taxa_id])
+            first_child = self._first_child(self.taxon_id__children[taxa_id])
             lineage = self.lineage_of_acc(self.accessions[first_child])
         return self.lineage_string(rank, lineage)
 
@@ -330,10 +407,13 @@ class ProfileState:
             count = self.taxon_id__read_count[t_id]
             if self.name_of(t_id)[0] != rank:
                 continue
-            children = sorted(self.taxon_id__children[t_id])
-            genome_length = int(sum(int(self.lengths[c]) for c in children)
-                                ) // len(children)
-            child_acc = self.accessions[children[-1]]  # LAST child (max id)
+            children = self.taxon_id__children[t_id]
+            if isinstance(children, np.ndarray):
+                ch = children
+            else:
+                ch = np.fromiter(children, np.int64, len(children))
+            genome_length = int(self.lengths[ch].sum()) // len(ch)
+            child_acc = self.accessions[int(ch.max())]  # LAST child (max id)
             lineage = self.lineage_of_acc(child_acc)
             cov = f32(f32((count * self.avg_read_length) & 0xFFFFFFFF)
                       / genome_length)

@@ -58,3 +58,62 @@ def test_seq_sum_f32_matches_sequential():
     for v in vals:
         acc = np.float32(acc + np.float32(v))
     assert seq_sum_f32(vals) == acc
+
+
+class TestNativePropagate:
+    """Native C++ propagate_counts (stpu_propagate_run) == the pure
+    Python loop, bit-for-bit, on synthetic states at above-threshold
+    cardinality — including shuffled taxid magnitudes (receivers processed
+    before some contributors), rank-8 (INTERMEDIATE) taxids, and taxids
+    missing from taxid__name (insert-on-miss default rank)."""
+
+    @staticmethod
+    def _pair(n_contigs, n_lca, seed, shuffle):
+        import copy
+
+        import profile_finalize as pf
+        from slimm_tpu.io import native
+
+        if not native.available():
+            import pytest
+            pytest.skip("native library not built")
+        st = pf.build_synthetic(n_contigs, n_lca, seed=seed,
+                                shuffle_taxids=shuffle)
+        # quirk coverage: an INTERMEDIATE-rank taxid and a nameless taxid
+        keys = sorted(st.taxon_id__read_count)
+        if len(keys) >= 4:
+            st.taxid__name[keys[1]] = (8, "odd_intermediate")
+            st.taxid__name.pop(keys[2], None)
+        return st, copy.deepcopy(st)
+
+    def _check(self, n_contigs, n_lca, seed, shuffle):
+        st_pure, st_nat = self._pair(n_contigs, n_lca, seed, shuffle)
+        st_pure.NATIVE_PROPAGATE_MIN = 10**9   # force the Python loop
+        st_pure.propagate_counts()
+        assert st_nat._propagate_native()
+        assert st_nat.taxon_id__read_count == st_pure.taxon_id__read_count
+        assert set(st_nat.taxon_id__children) == set(
+            st_pure.taxon_id__children)
+        for t, ch in st_nat.taxon_id__children.items():
+            got = set(ch.tolist()) if isinstance(ch, np.ndarray) else set(ch)
+            assert got == st_pure.taxon_id__children[t], t
+        # name_of side effects replicated (insert-on-miss during rank read)
+        assert st_nat.taxid__name == st_pure.taxid__name
+        # downstream report rows agree through the array-backed children
+        for st in (st_pure, st_nat):
+            st.compute_abundances()
+            st._coverage_cut_off = np.float32(1e-9)
+            st._uniq_coverage_cut_off = np.float32(1e-9)
+        for rank in ("species", "genus", "phylum"):
+            st_pure.options.rank = rank
+            st_nat.options.rank = rank
+            assert st_nat.abundance_rows() == st_pure.abundance_rows()
+
+    def test_parity_ordered(self):
+        self._check(400, 6000, seed=1, shuffle=False)
+
+    def test_parity_shuffled_taxids(self):
+        self._check(400, 6000, seed=2, shuffle=True)
+
+    def test_parity_shuffled_large(self):
+        self._check(1500, 20000, seed=3, shuffle=True)
