@@ -489,16 +489,96 @@ struct PairSet {
 // parts in place (no per-record string construction) — the read-name
 // dictionary is the decoder's hottest structure (slimm.hpp:204-211 at
 // billions of reads, SURVEY.md §7 hard-part 4).
+// Zero-initialized array for hash-table slots.  Large tables (>= 4 MB)
+// come from anonymous mmap with MADV_HUGEPAGE: the kernel hands out
+// zero-filled 2 MB pages on first touch, so a 2^24-slot reserve costs
+// neither an upfront 128-192 MB memset (added ~100 ms to every per-file
+// stream open) nor the ~100k random 4 KB fault storm plain calloc pays
+// under the intern map's uniform access pattern.  Small tables calloc.
+template <typename T>
+struct ZeroArr {
+  T* p = nullptr;
+  size_t n = 0;
+  bool mapped = false;
+  static constexpr size_t kMmapMin = size_t(4) << 20;
+
+  ZeroArr() = default;
+  explicit ZeroArr(size_t count) { alloc(count); }
+  ZeroArr(const ZeroArr& o) { copy_from(o); }
+  ZeroArr& operator=(const ZeroArr& o) {
+    if (this != &o) copy_from(o);
+    return *this;
+  }
+  ZeroArr(ZeroArr&& o) noexcept : p(o.p), n(o.n), mapped(o.mapped) {
+    o.p = nullptr;
+    o.n = 0;
+  }
+  ZeroArr& operator=(ZeroArr&& o) noexcept {
+    if (this != &o) {
+      release();
+      p = o.p;
+      n = o.n;
+      mapped = o.mapped;
+      o.p = nullptr;
+      o.n = 0;
+    }
+    return *this;
+  }
+  ~ZeroArr() { release(); }
+  void release() {
+    if (!p) return;
+    if (mapped)
+      munmap(p, n * sizeof(T));
+    else
+      std::free(p);
+    p = nullptr;
+    n = 0;
+  }
+  void alloc(size_t count) {
+    release();
+    size_t bytes = count * sizeof(T);
+    if (bytes >= kMmapMin) {
+      void* m = mmap(nullptr, bytes, PROT_READ | PROT_WRITE,
+                     MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+      if (m != MAP_FAILED) {
+#ifdef MADV_HUGEPAGE
+        madvise(m, bytes, MADV_HUGEPAGE);
+#endif
+        p = static_cast<T*>(m);
+        mapped = true;
+        n = count;
+        return;
+      }
+    }
+    p = count ? static_cast<T*>(std::calloc(count, sizeof(T))) : nullptr;
+    if (!p && count) throw std::bad_alloc();
+    mapped = false;
+    n = count;
+  }
+  void copy_from(const ZeroArr& o) {
+    alloc(o.n);
+    if (o.n) memcpy(p, o.p, o.n * sizeof(T));
+  }
+  size_t size() const { return n; }
+  T& operator[](size_t i) { return p[i]; }
+  const T& operator[](size_t i) const { return p[i]; }
+  void swap(ZeroArr& o) {
+    std::swap(p, o.p);
+    std::swap(n, o.n);
+    std::swap(mapped, o.mapped);
+  }
+};
+
 struct StrMap {
   std::vector<char> arena;     // concatenated key bytes
   std::vector<uint64_t> meta;  // (start << 24) | len per id
   // slot = (hash_lo32 << 32) | (id + 1); 0 = empty.  The 32-bit hash tag
   // lives IN the slot so a probe is one cache line; meta/arena are touched
   // only on a tag match (true hit or rare collision).
-  std::vector<uint64_t> slots;
+  ZeroArr<uint64_t> slots;
   size_t mask;
 
-  StrMap() : slots(1 << 16, 0), mask((1 << 16) - 1) {}
+  StrMap() : slots(1 << 16), mask((1 << 16) - 1) {}
 
   size_t size() const { return meta.size(); }
 
@@ -511,7 +591,7 @@ struct StrMap {
     size_t target = est + est / 2;  // keep fill factor under ~0.7
     while (want < target && want < (size_t(1) << 24)) want <<= 1;
     if (want > slots.size() && meta.empty()) {
-      slots.assign(want, 0);
+      slots.alloc(want);
       mask = want - 1;
     }
     meta.reserve(est);
@@ -537,9 +617,10 @@ struct StrMap {
 
   void grow() {
     size_t n = slots.size() * 4;  // fewer, bigger rehashes
-    std::vector<uint64_t> ns(n, 0);
+    ZeroArr<uint64_t> ns(n);
     size_t nm = n - 1;
-    for (uint64_t s : slots) {
+    for (size_t k = 0; k < slots.size(); ++k) {
+      uint64_t s = slots[k];
       if (!s) continue;
       size_t i = static_cast<uint32_t>(s >> 32) & nm;
       while (ns[i]) i = (i + 1) & nm;
@@ -615,12 +696,14 @@ struct StrMap {
 // single merged pair at 1e9 reads) — opt-in, trades bit-parity certainty
 // for memory.
 struct Hash64Map {
-  std::vector<uint64_t> keys;  // mixed hash, 0 = empty (0 remaps below)
-  std::vector<int32_t> ids;
+  // ids[] is only read at slots where keys[] is nonzero, so calloc's
+  // zero-fill is a safe "empty" for both arrays
+  ZeroArr<uint64_t> keys;  // mixed hash, 0 = empty (0 remaps below)
+  ZeroArr<int32_t> ids;
   size_t mask;
   size_t count = 0;
 
-  Hash64Map() : keys(1 << 16, 0), ids(1 << 16, -1), mask((1 << 16) - 1) {}
+  Hash64Map() : keys(1 << 16), ids(1 << 16), mask((1 << 16) - 1) {}
 
   size_t size() const { return count; }
 
@@ -629,16 +712,16 @@ struct Hash64Map {
     size_t target = est + est / 2;
     while (want < target && want < (size_t(1) << 24)) want <<= 1;
     if (want > keys.size() && count == 0) {
-      keys.assign(want, 0);
-      ids.assign(want, -1);
+      keys.alloc(want);
+      ids.alloc(want);
       mask = want - 1;
     }
   }
 
   void grow() {
     size_t n = keys.size() * 4;
-    std::vector<uint64_t> nk(n, 0);
-    std::vector<int32_t> ni(n, -1);
+    ZeroArr<uint64_t> nk(n);
+    ZeroArr<int32_t> ni(n);
     size_t nm = n - 1;
     for (size_t s = 0; s < keys.size(); ++s) {
       if (!keys[s]) continue;
@@ -2076,14 +2159,13 @@ struct StpuStream {
       pos = e + (nl ? 1 : 0);
     }
     size_t header_end = pos;
-    if (!probe_head(map, map_size, header_end, hp.rid_of)) return false;
-    if (psample_count == 0) return false;  // serial path raises properly
     // Worker count: on a 2-core host the serial tokenizer/consumer
     // pipeline is already 2-thread optimal and sharding only adds
     // oversubscription (measured 0.71s vs 0.64s on the 4M-record bench
     // SAM), so parallel mode needs >= 3 cores; one core is left for the
     // consumer/upload thread.  SLIMM_DECODE_THREADS overrides (tests,
-    // tuning).
+    // tuning).  Checked BEFORE probe_head: the ~100k-record probe scan
+    // costs ~100 ms and is pure waste when parallel mode declines anyway.
     unsigned hw = std::max(1u, std::thread::hardware_concurrency());
     unsigned workers = hw >= 3 ? hw - 1 : 0;
     if (const char* t = std::getenv("SLIMM_DECODE_THREADS")) {
@@ -2096,6 +2178,8 @@ struct StpuStream {
     size_t n_sh = std::min<size_t>(workers,
                                    (map_size - header_end) / span);
     if (n_sh < 2) return false;
+    if (!probe_head(map, map_size, header_end, hp.rid_of)) return false;
+    if (psample_count == 0) return false;  // serial path raises properly
 
     std::vector<size_t> cuts(n_sh + 1);
     cuts[0] = header_end;

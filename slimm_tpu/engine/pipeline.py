@@ -409,7 +409,10 @@ def _lineage_rows(lineage, ridx, n_contigs, n_dense):
     the dot, ~5x faster than the row gather on TPU v5e.  Exact while taxid
     values fit float32 integers (< 2^24) and the one-hot stays cheap;
     falls back to the gather otherwise.  Out-of-range indices yield zero
-    rows (callers mask them)."""
+    rows (callers mask them).  (A transposed (8, N) variant measured ~3x
+    SLOWER in the full pass-B program on v5e — XLA inserts relayout
+    copies between the (8, N) temps and the (N,) elementwise chain — so
+    the row layout stays.)"""
     if n_contigs <= 4096 and n_dense < (1 << 24):
         oh = (ridx[:, None] == jnp.arange(n_contigs, dtype=jnp.int32)[None, :]
               ).astype(jnp.float32)
@@ -604,7 +607,27 @@ def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                       dedup_window=dedup_window, k_steps=k_steps,
                       window=window, use_pallas=use_pallas,
                       bin_lo=bin_lo, hist_bins=hist_bins, t_gbin=t_gbin)
-    cov, uniq_cov, uniq_matches = a["cov"], a["uniq_cov"], a["uniq_matches"]
+    return _core_after_a(
+        a["cov"], a["uniq_cov"], a["uniq_matches"], read_id, rid,
+        a["t_gbin"], a["nondup"], bin_offset, bin_ends, lineage, sk_code, q,
+        n_contigs=n_contigs, total_bins_pad=total_bins_pad, n_dense=n_dense,
+        n_codes=n_codes, k_steps=k_steps, window=window,
+        use_pallas=use_pallas, psum_axis=psum_axis,
+        emit_coverage=emit_coverage, model_axis=model_axis,
+        model_shards=model_shards, bin_lo=bin_lo, hist_bins=hist_bins)
+
+
+def _core_after_a(cov, uniq_cov, uniq_matches, read_id, rid, t_gbin, nondup,
+                  bin_offset, bin_ends, lineage, sk_code, q, *, n_contigs,
+                  total_bins_pad, n_dense, n_codes, k_steps, window,
+                  use_pallas=False, psum_axis=None, emit_coverage=True,
+                  model_axis=None, model_shards=1, bin_lo=None,
+                  hist_bins=None):
+    """Everything in the fused profile AFTER the pass-A histograms:
+    histogram merge, per-contig counters, device cutoffs + validity, pass
+    B, and the packed-vector assembly.  Shared between the one-dispatch
+    paths (_fused_core) and the overlap path's split dispatch, where pass
+    A ran incrementally per piece while the file was still decoding."""
     if psum_axis is not None:
         cov = jax.lax.psum(cov, psum_axis)
         uniq_cov = jax.lax.psum(uniq_cov, psum_axis)
@@ -638,7 +661,7 @@ def _fused_core(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
     ucc = jnp.where(use_cut, ucc_q, jnp.float32(0.0))
     valid_mask = (rc > 0) & (covp >= cc) & (ucovp >= ucc)
 
-    b = _pass_b_local(read_id, rid, a["t_gbin"], a["nondup"], valid_mask,
+    b = _pass_b_local(read_id, rid, t_gbin, nondup, valid_mask,
                       lineage, sk_code, n_contigs=n_contigs,
                       total_bins_pad=total_bins_pad, n_dense=n_dense,
                       n_codes=n_codes, k_steps=k_steps, window=window,
@@ -786,6 +809,61 @@ def fused_profile_pieces(bnds, rids, lbins, n_valids, lengths_u32,
                        dedup_window=dedup_window, k_steps=k_steps,
                        window=window, use_pallas=use_pallas,
                        emit_coverage=emit_coverage, t_gbin=t_gbin)
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2),
+         static_argnames=("n_contigs", "total_bins_pad", "k_steps", "window",
+                          "use_pallas"))
+def piece_pass_a_acc(cov, uniq_cov, uniq_matches, bnd_packed, rid_small,
+                     lbin, n_valid, lengths_u32, bin_offset, half, bin_width,
+                     *, n_contigs, total_bins_pad, k_steps, window,
+                     use_pallas=False):
+    """Pass A over ONE v2 piece, accumulated into donated histogram
+    buffers — enqueued while the file is still decoding, so the pass-A
+    device work AND the piece H2D transfers hide behind the decode.  The
+    piece's record-level intermediates (read_id, rid, t_gbin, nondup) stay
+    on device for pieces_pass_b_final.  (k_steps, window) is the PIECE's
+    own segment plan (from its boundary bits); the final pass B uses the
+    whole-file plan."""
+    n_s = lbin.shape[0]
+    read_id = _unpack_read_groups(bnd_packed, n_s, n_valid)
+    rid = rid_small.astype(jnp.int32)
+    t_gbin = (bin_offset[jnp.clip(rid, 0, n_contigs - 1)]
+              + lbin.astype(jnp.int32))
+    a = _pass_a_local(read_id, rid, None, lengths_u32, bin_offset, half,
+                      bin_width, n_contigs=n_contigs,
+                      total_bins_pad=total_bins_pad, dedup_window=0,
+                      k_steps=k_steps, window=window, use_pallas=use_pallas,
+                      t_gbin=t_gbin)
+    return (cov + a["cov"], uniq_cov + a["uniq_cov"],
+            uniq_matches + a["uniq_matches"], read_id, rid, a["t_gbin"],
+            a["nondup"])
+
+
+@partial(jax.jit, static_argnames=("n_contigs", "total_bins_pad", "n_dense",
+                                   "n_codes", "k_steps", "window",
+                                   "use_pallas", "emit_coverage"))
+def pieces_pass_b_final(cov, uniq_cov, uniq_matches, read_ids, rids, t_gbins,
+                        nondups, gid_offsets, bin_offset, bin_ends, lineage,
+                        sk_code, q, *, n_contigs, total_bins_pad, n_dense,
+                        n_codes, k_steps, window, use_pallas=False,
+                        emit_coverage=True):
+    """Cutoffs + pass B over the per-piece pass-A intermediates (the tail
+    of the overlap path's split dispatch).  Per-piece read ids become
+    globally unique via gid_offsets (reads never span pieces); -1 pads
+    stay -1."""
+    parts = [jnp.where(r >= 0, r + gid_offsets[i], jnp.int32(-1))
+             for i, r in enumerate(read_ids)]
+    read_id = jnp.concatenate(parts)
+    rid = jnp.concatenate(rids)
+    t_gbin = jnp.concatenate(t_gbins)
+    nondup = jnp.concatenate(nondups)
+    return _core_after_a(cov, uniq_cov, uniq_matches, read_id, rid, t_gbin,
+                         nondup, bin_offset, bin_ends, lineage, sk_code, q,
+                         n_contigs=n_contigs, total_bins_pad=total_bins_pad,
+                         n_dense=n_dense, n_codes=n_codes, k_steps=k_steps,
+                         window=window, use_pallas=use_pallas,
+                         emit_coverage=emit_coverage)
 
 
 def pack_records_compact2(read_id, rid, pos, n_pad, n_contigs, lengths_u32,
@@ -1193,23 +1271,35 @@ def _profile_file_overlap(options: ProfileOptions, db: SlimmDatabase,
     d_off = jnp.asarray(geom["bin_offset"])
     d_ends = jnp.asarray(geom["bin_ends"])
     d_lin = jnp.asarray(dense.lineage)
+    use_pallas = jax.devices()[0].platform != "cpu"
+    total_bins_pad = geom["total_bins_pad"]
 
     # Synchronous piece loop: the C++ decoder is ALREADY pipelined (its
     # tokenizer thread runs ahead behind a bounded queue), so next_piece_v2
-    # blocks only on the consumer half; the async upload below overlaps
-    # the tokenizer's decode of the next window.  A python-side producer
-    # thread here measured SLOWER on the 2-vCPU host (three compute
-    # threads contending for two cores).  The v2 transfer encode (boundary
-    # bitpack, rid cast, center binning) happens INSIDE the C++ take —
-    # per-record numpy work on the host serialized against the decode and
-    # cost ~0.1 s/M records before it moved native.
+    # blocks only on the consumer half; the async upload + per-piece pass-A
+    # dispatch below overlap the tokenizer's decode of the next window.  A
+    # python-side producer thread here measured SLOWER on the 2-vCPU host
+    # (three compute threads contending for two cores).  The v2 transfer
+    # encode (boundary bitpack, rid cast, center binning) happens INSIDE
+    # the C++ take — per-record numpy work on the host serialized against
+    # the decode and cost ~0.1 s/M records before it moved native.
+    #
+    # Split dispatch: pass A runs per piece into donated accumulators
+    # DURING the decode (which both starts the piece's H2D transfer
+    # immediately and hides the pass-A device time); after EOF one final
+    # dispatch computes cutoffs + pass B over the retained device
+    # intermediates.  Exposed device time after the last piece is pass B
+    # only (~half the pipeline) instead of the whole fused program.
     if n_contigs <= np.iinfo(np.uint8).max:
         rid_dtype = np.uint8
     elif n_contigs <= np.iinfo(np.int16).max:
         rid_dtype = np.int16
     else:
         rid_dtype = np.int32
-    bnds, rids, bins, nvs = [], [], [], []
+    acc = None
+    pieces = []            # per-piece (read_id, rid, t_gbin, nondup) on device
+    gid_offs = [0]         # cumulative read counts → global read ids
+    n_reads_cum = 0
     while True:
         try:
             piece = sr.next_piece_v2(n_s, n_s, geom["lengths_u32"],
@@ -1224,12 +1314,24 @@ def _profile_file_overlap(options: ProfileOptions, db: SlimmDatabase,
         if piece is None:
             break
         bnd, rid_p, bin_p, nv = piece
-        # uploads are async enqueues; the fused dispatch below stays a
-        # single round trip
-        bnds.append(jnp.asarray(bnd))
-        rids.append(jnp.asarray(rid_p))
-        bins.append(jnp.asarray(bin_p))
-        nvs.append(int(nv))
+        # piece segment plan from its own boundary bits (~1 ms host work)
+        bits = np.unpackbits(bnd, bitorder="little", count=int(nv))
+        starts = np.flatnonzero(bits)
+        runs = np.diff(np.append(starts, int(nv)))
+        pk, pw = plan_from_max_run(int(runs.max()) if len(runs) else 1)
+        if acc is None:
+            acc = (jnp.zeros(total_bins_pad, jnp.int32),
+                   jnp.zeros(total_bins_pad, jnp.int32), jnp.int32(0))
+        cov, ucov, um, p_read, p_rid, p_gbin, p_nd = piece_pass_a_acc(
+            acc[0], acc[1], acc[2], jnp.asarray(bnd), jnp.asarray(rid_p),
+            jnp.asarray(bin_p), jnp.int32(int(nv)), d_len, d_off,
+            geom["half"], geom["bin_width"], n_contigs=n_contigs,
+            total_bins_pad=total_bins_pad, k_steps=pk, window=pw,
+            use_pallas=use_pallas)
+        acc = (cov, ucov, um)
+        pieces.append((p_read, p_rid, p_gbin, p_nd))
+        n_reads_cum += len(starts)
+        gid_offs.append(n_reads_cum)
 
     n_reads, hits_count, _ = sr.totals()
     warn = sr.warning()
@@ -1243,26 +1345,23 @@ def _profile_file_overlap(options: ProfileOptions, db: SlimmDatabase,
         return st
 
     k_steps, window = plan_from_max_run(max(sr.max_targets, 1))
-    K = _bucket_pieces(len(bnds))
-    if K > len(bnds):  # pad with one shared all-empty piece
-        zb = jnp.asarray(np.zeros(n_s // 8, np.uint8))
-        zr = jnp.asarray(np.zeros(n_s, rids[0].dtype))
-        zn = jnp.asarray(np.zeros(n_s, np.uint16))
-        while len(bnds) < K:
-            bnds.append(zb)
-            rids.append(zr)
-            bins.append(zn)
-            nvs.append(0)
+    K = _bucket_pieces(len(pieces))
+    if K > len(pieces):  # pad with one shared all-empty piece
+        z_read = jnp.asarray(np.full(n_s, -1, np.int32))
+        z_i32 = jnp.asarray(np.zeros(n_s, np.int32))
+        z_nd = jnp.asarray(np.zeros(n_s, bool))
+        while len(pieces) < K:
+            pieces.append((z_read, z_i32, z_i32, z_nd))
+            gid_offs.append(n_reads_cum)
 
-    use_pallas = jax.devices()[0].platform != "cpu"
-    total_bins_pad = geom["total_bins_pad"]
-    out = fused_profile_pieces(
-        tuple(bnds), tuple(rids), tuple(bins),
-        jnp.asarray(np.asarray(nvs, np.int32)), d_len, d_off, d_ends,
-        geom["half"], geom["bin_width"], d_lin,
-        jnp.asarray(dense.sk_code), geom["q"],
+    out = pieces_pass_b_final(
+        acc[0], acc[1], acc[2],
+        tuple(p[0] for p in pieces), tuple(p[1] for p in pieces),
+        tuple(p[2] for p in pieces), tuple(p[3] for p in pieces),
+        jnp.asarray(np.asarray(gid_offs[:K], np.int32)),
+        d_off, d_ends, d_lin, jnp.asarray(dense.sk_code), geom["q"],
         n_contigs=n_contigs, total_bins_pad=total_bins_pad,
-        n_dense=dense.n_dense, n_codes=dense.n_pair_codes, dedup_window=0,
+        n_dense=dense.n_dense, n_codes=dense.n_pair_codes,
         k_steps=k_steps, window=window, use_pallas=use_pallas,
         emit_coverage=engine.fetch_coverage)
     _finalize_state(st, out, dense, geom["total_bins"], engine, options,
