@@ -597,9 +597,33 @@ struct StrMap {
     meta.reserve(est);
   }
 
+  // 8-byte-chunked multiply-mix over a ++ b.  Hash VALUES are internal
+  // (ids come from intern order; collisions only cost a verify probe, and
+  // the 64-bit hash_names mode already accepts the 2^-64 merge risk), so
+  // the function only needs speed + dispersion: ~2 multiplies per 8 bytes
+  // vs FNV-1a's per-byte multiply (~3x the consume-thread hash cost on
+  // 13-15 byte read names).
+  static uint64_t hash_chunk(uint64_t h, uint64_t block) {
+    h = (h ^ block) * 0x9E3779B97F4A7C15ull;
+    return (h ^ (h >> 29)) * 0xBF58476D1CE4E5B9ull;
+  }
+
   static uint64_t hash2_64(const char* a, size_t n, const char* b,
                            size_t m) {
-    uint64_t h = 1469598103934665603ull;  // FNV-1a over a ++ b
+    uint64_t h = 1469598103934665603ull ^ (n + m);
+    if (n + m <= 56) {  // read names; one stack copy, then 8B blocks
+      char buf[64];
+      memcpy(buf, a, n);
+      if (m) memcpy(buf + n, b, m);
+      size_t total = n + m;
+      memset(buf + total, 0, 8);  // zero-pad the tail block
+      for (size_t i = 0; i < total; i += 8) {
+        uint64_t w;
+        memcpy(&w, buf + i, 8);
+        h = hash_chunk(h, w);
+      }
+      return PairSet::mix(h);
+    }
     for (size_t i = 0; i < n; ++i) {
       h ^= static_cast<unsigned char>(a[i]);
       h *= 1099511628211ull;
@@ -925,6 +949,54 @@ struct Decoder {
 // First '\t' or '\n' in [p, end) — the tokenizer's single scan over the
 // line (AVX2 32-wide / SSE2 16-wide when available).  The wide path pays
 // off on the ~read-length seq field; short fields exit on iteration one.
+static inline const char* find_delim(const char* p, const char* end);
+
+// Rolling delimiter scanner: one 32-byte block mask amortized across the
+// many short fields of a SAM line (mapq..tlen is typically "60\t100M\t*\t0\t0\t"
+// — one block covers five fields where per-field find_delim would issue
+// five loads+compares).  Monotone: next(from) with from anywhere at or
+// after the previous result.
+struct DelimCursor {
+  const char* end;
+#if defined(__AVX2__)
+  const char* blk = nullptr;  // base of the cached mask block
+  uint32_t mask = 0;
+#endif
+
+  explicit DelimCursor(const char* e) : end(e) {}
+
+  inline const char* next(const char* from) {
+#if defined(__AVX2__)
+    if (blk && from >= blk && from < blk + 32) {
+      uint32_t drop = static_cast<uint32_t>(from - blk);
+      uint32_t m = mask & (~0u << drop);
+      if (m) return blk + __builtin_ctz(m);
+      from = blk + 32;
+    }
+    const char* p = from;
+    const __m256i wt = _mm256_set1_epi8('\t');
+    const __m256i wn = _mm256_set1_epi8('\n');
+    while (p + 32 <= end) {
+      __m256i v = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(p));
+      uint32_t m = static_cast<uint32_t>(_mm256_movemask_epi8(
+          _mm256_or_si256(_mm256_cmpeq_epi8(v, wt),
+                          _mm256_cmpeq_epi8(v, wn))));
+      if (m) {
+        blk = p;
+        mask = m;
+        return p + __builtin_ctz(m);
+      }
+      p += 32;
+    }
+    blk = nullptr;
+    while (p < end && *p != '\t' && *p != '\n') ++p;
+    return p;
+#else
+    return find_delim(from, end);
+#endif
+  }
+};
+
 static inline const char* find_delim(const char* p, const char* end) {
 #if defined(__AVX2__)
   const __m256i wt = _mm256_set1_epi8('\t');
@@ -1127,10 +1199,12 @@ struct SamParser {
       carry.clear();
       p = nl + 1;
     }
-    // Alignment lines tokenize in ONE scan: find_delim yields the next
-    // '\t' OR '\n', so field splitting and line termination share the
-    // same pass (the old flow scanned every line twice — newline memchr,
-    // then per-field tab memchrs).
+    // Alignment lines tokenize in ONE scan: the delimiter cursor yields
+    // the next '\t' OR '\n', so field splitting and line termination
+    // share the same pass, and one 32-byte block mask serves all the
+    // short fields it covers (per-field find_delim re-loaded the same
+    // bytes up to five times across mapq..tlen).
+    DelimCursor cursor(end);
     while (p < end) {
       if (*p == '@') {
         const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
@@ -1154,7 +1228,7 @@ struct SamParser {
       const char* d = nullptr;
       field[nf++] = q;
       while (nf < 11) {
-        d = find_delim(q, end);
+        d = cursor.next(q);
         if (d == end) {  // line spans the chunk boundary
           carry.assign(p, end - p);
           return;
@@ -2547,7 +2621,34 @@ void stpu_stream_take_v2(void* h, int64_t n, int64_t n_pad,
   const int32_t* rid = s->file.rid.data() + s->consumed;
   const int32_t* pos = s->file.pos.data() + s->consumed;
   memset(bnd, 0, static_cast<size_t>(n_pad / 8));
-  for (int64_t i = 0; i < n; ++i) {
+  int64_t i0 = 0;
+#if defined(__AVX2__)
+  // boundary byte per 8 records: movemask of read_id[i] == read_id[i-1],
+  // inverted (the scalar loop's byte RMW has a loop-carried dependency
+  // gcc cannot vectorize)
+  if (n >= 9) {
+    for (int64_t i = 8; i + 8 <= n; i += 8) {
+      __m256i cur = _mm256_loadu_si256(
+          reinterpret_cast<const __m256i*>(read_id + i));
+      __m256i prv = _mm256_loadu_si256(
+          reinterpret_cast<const __m256i*>(read_id + i - 1));
+      int eq = _mm256_movemask_ps(
+          _mm256_castsi256_ps(_mm256_cmpeq_epi32(cur, prv)));
+      bnd[i >> 3] = static_cast<uint8_t>(~eq & 0xFF);
+    }
+    bnd[0] = 0;
+    for (int64_t i = 0; i < 8; ++i) {
+      bool b = (i == 0) || (read_id[i] != read_id[i - 1]);
+      bnd[0] |= static_cast<uint8_t>(b) << i;
+    }
+    for (int64_t i = ((n - 8) / 8) * 8 + 8; i < n; ++i) {  // block tail
+      bool b = read_id[i] != read_id[i - 1];
+      bnd[i >> 3] |= static_cast<uint8_t>(b) << (i & 7);
+    }
+    i0 = n;
+  }
+#endif
+  for (int64_t i = i0; i < n; ++i) {
     bool b = (i == 0) || (read_id[i] != read_id[i - 1]);
     bnd[i >> 3] |= static_cast<uint8_t>(b) << (i & 7);
   }
@@ -2564,11 +2665,24 @@ void stpu_stream_take_v2(void* h, int64_t n, int64_t n_pad,
     memcpy(o, rid, static_cast<size_t>(n) * 4);
     memset(o + n, 0, static_cast<size_t>(n_pad - n) * 4);
   }
+  // division by invariant multiplication: M = ceil(2^64 / bw) makes
+  // floor((center * M) >> 64) == center / bw exact for ALL center < 2^32
+  // (error term center/2^64 < 2^-32 <= 1/bw) — a hardware udiv per record
+  // cost ~30% of this loop
+  const uint64_t magic =
+      bin_width > 1
+          ? ~0ull / bin_width + 1  // == ceil(2^64 / bw) for bw not a power
+          : 0;                     // dividing 2^64... exact either way; see below
   for (int64_t i = 0; i < n; ++i) {
     uint32_t center = static_cast<uint32_t>(pos[i]) + half;
     uint32_t len = lengths[rid[i]];
     if (center > len) center = len;
-    bin_out[i] = static_cast<uint16_t>(center / bin_width);
+    uint32_t q =
+        bin_width > 1
+            ? static_cast<uint32_t>(
+                  (static_cast<unsigned __int128>(center) * magic) >> 64)
+            : center;
+    bin_out[i] = static_cast<uint16_t>(q);
   }
   memset(bin_out + n, 0, static_cast<size_t>(n_pad - n) * 2);
   s->consumed += n;
