@@ -2689,6 +2689,40 @@ void stpu_stream_take_v2(void* h, int64_t n, int64_t n_pad,
   s->compact();
 }
 
+// take_v2 plus the piece's read count and longest per-read target run
+// (from the boundary bits, one popcount/ctz pass) — the overlap path
+// derives its per-piece segment plan and global read-id offsets from
+// these; computing them host-side cost ~1 ms/piece of numpy on the
+// caller thread that also feeds the decoder.
+void stpu_stream_take_v2x(void* h, int64_t n, int64_t n_pad,
+                          const uint32_t* lengths, uint32_t half,
+                          uint32_t bin_width, uint8_t* bnd, void* rid_out,
+                          int rid_dtype, uint16_t* bin_out,
+                          int64_t* out_n_reads, int64_t* out_max_run) {
+  stpu_stream_take_v2(h, n, n_pad, lengths, half, bin_width, bnd, rid_out,
+                      rid_dtype, bin_out);
+  int64_t n_reads = 0;
+  int64_t max_run = 0;
+  int64_t prev = -1;  // position of the previous boundary bit
+  const int64_t words = (n + 63) >> 6;
+  for (int64_t w = 0; w < words; ++w) {
+    uint64_t v;
+    memcpy(&v, bnd + w * 8, 8);
+    if (w == words - 1 && (n & 63))
+      v &= (~0ull) >> (64 - (n & 63));  // mask pad bits
+    while (v) {
+      int64_t p = (w << 6) + __builtin_ctzll(v);
+      v &= v - 1;
+      ++n_reads;
+      if (prev >= 0 && p - prev > max_run) max_run = p - prev;
+      prev = p;
+    }
+  }
+  if (prev >= 0 && n - prev > max_run) max_run = n - prev;
+  *out_n_reads = n_reads;
+  *out_max_run = max_run;
+}
+
 void stpu_stream_close(void* h) { delete static_cast<StpuStream*>(h); }
 
 // Timed first-hit dedup of raw (read, contig) records — the host-side stage

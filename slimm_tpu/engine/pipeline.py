@@ -1304,7 +1304,7 @@ def _profile_file_overlap(options: ProfileOptions, db: SlimmDatabase,
         try:
             piece = sr.next_piece_v2(n_s, n_s, geom["lengths_u32"],
                                      geom["half"], geom["bin_width"],
-                                     rid_dtype)
+                                     rid_dtype, with_plan=True)
         except ValueError as e:
             if "not qname-grouped" in str(e):
                 return None
@@ -1313,12 +1313,9 @@ def _profile_file_overlap(options: ProfileOptions, db: SlimmDatabase,
             return None  # one read's targets exceed a piece; fall back
         if piece is None:
             break
-        bnd, rid_p, bin_p, nv = piece
-        # piece segment plan from its own boundary bits (~1 ms host work)
-        bits = np.unpackbits(bnd, bitorder="little", count=int(nv))
-        starts = np.flatnonzero(bits)
-        runs = np.diff(np.append(starts, int(nv)))
-        pk, pw = plan_from_max_run(int(runs.max()) if len(runs) else 1)
+        # per-piece segment plan + read count computed inside the C++ take
+        bnd, rid_p, bin_p, nv, p_reads, p_maxrun = piece
+        pk, pw = plan_from_max_run(max(int(p_maxrun), 1))
         if acc is None:
             acc = (jnp.zeros(total_bins_pad, jnp.int32),
                    jnp.zeros(total_bins_pad, jnp.int32), jnp.int32(0))
@@ -1330,7 +1327,7 @@ def _profile_file_overlap(options: ProfileOptions, db: SlimmDatabase,
             use_pallas=use_pallas)
         acc = (cov, ucov, um)
         pieces.append((p_read, p_rid, p_gbin, p_nd))
-        n_reads_cum += len(starts)
+        n_reads_cum += int(p_reads)
         gid_offs.append(n_reads_cum)
 
     n_reads, hits_count, _ = sr.totals()

@@ -88,6 +88,10 @@ def load_library():
         ctypes.c_void_p, ctypes.c_int,
         np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
     ]
+    lib.stpu_stream_take_v2x.restype = None
+    lib.stpu_stream_take_v2x.argtypes = (
+        lib.stpu_stream_take_v2.argtypes
+        + [ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)])
     lib.stpu_stream_close.restype = None
     lib.stpu_stream_close.argtypes = [ctypes.c_void_p]
     lib.stpu_baseline_profile.restype = ctypes.c_double
@@ -249,13 +253,17 @@ class NativeStreamReader:
         return self._lib.stpu_warning(self._f).decode()
 
     def next_piece_v2(self, cap: int, n_pad: int, lengths_u32, half: int,
-                      bin_width: int, rid_dtype):
+                      bin_width: int, rid_dtype, with_plan: bool = False):
         """One read-complete piece of <= cap targets, already in the v2
         compact transfer format, encoded inside the C++ decode pipeline:
         (bitpacked boundaries uint8[n_pad/8], rid rid_dtype[n_pad], local
-        bin uint16[n_pad], n_valid).  None at EOF.  Raises ValueError on
-        decode errors / non-grouped input and OverflowError when a single
-        read's targets exceed cap (callers fall back)."""
+        bin uint16[n_pad], n_valid).  With `with_plan` the tuple gains
+        (n_reads, max_run) for the piece — computed in C++ from the
+        boundary bits (the overlap path's per-piece segment plan and
+        read-id offsets; the numpy equivalent cost ~1 ms/piece on the
+        thread that also feeds the decoder).  None at EOF.  Raises
+        ValueError on decode errors / non-grouped input and OverflowError
+        when a single read's targets exceed cap (callers fall back)."""
         n = self._lib.stpu_stream_next_piece(self._h, cap)
         if n == -1:
             raise ValueError(
@@ -274,11 +282,22 @@ class NativeStreamReader:
         rid_p = np.empty(n_pad, rid_dtype)
         bin_p = np.empty(n_pad, np.uint16)
         code = {np.uint8: 0, np.int16: 1, np.int32: 2}[rid_dtype]
-        self._lib.stpu_stream_take_v2(
-            self._h, n, n_pad, np.ascontiguousarray(lengths_u32, np.uint32),
-            np.uint32(half), np.uint32(bin_width), bnd,
-            rid_p.ctypes.data_as(ctypes.c_void_p), code, bin_p)
-        return bnd, rid_p, bin_p, np.int32(n)
+        lengths = np.ascontiguousarray(lengths_u32, np.uint32)
+        if not with_plan:
+            self._lib.stpu_stream_take_v2(
+                self._h, n, n_pad, lengths, np.uint32(half),
+                np.uint32(bin_width), bnd,
+                rid_p.ctypes.data_as(ctypes.c_void_p), code, bin_p)
+            return bnd, rid_p, bin_p, np.int32(n)
+        n_reads = ctypes.c_int64()
+        max_run = ctypes.c_int64()
+        self._lib.stpu_stream_take_v2x(
+            self._h, n, n_pad, lengths, np.uint32(half),
+            np.uint32(bin_width), bnd,
+            rid_p.ctypes.data_as(ctypes.c_void_p), code, bin_p,
+            ctypes.byref(n_reads), ctypes.byref(max_run))
+        return (bnd, rid_p, bin_p, np.int32(n), int(n_reads.value),
+                int(max_run.value))
 
     def next_chunk(self, min_targets: int):
         """(read_id, rid, pos) int32 arrays of >= min_targets targets cut at
