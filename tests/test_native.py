@@ -179,3 +179,28 @@ def test_stream_take_v2_matches_host_pack(toy_dir):
         np.testing.assert_array_equal(bin_p, ref[2])
         assert sr.next_piece_v2(n_pad, n_pad, lengths, half, bw,
                                 rid_dtype) is None
+
+
+def test_piece_v2x_plan_matches_numpy(toy_dir):
+    """stpu_stream_take_v2x's (n_reads, max_run) == the numpy recompute
+    from the boundary bits it wrote (the overlap path's per-piece segment
+    plan source)."""
+    from slimm_tpu.io import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+    whole = native.NativeAlignmentFile(toy_dir.sam_path).load()
+    af = native.NativeAlignmentFile(toy_dir.sam_path)
+    lengths = af.contig_lengths.astype(np.uint32)
+    n = len(whole.read_id)
+    n_pad = -(-n // 2048) * 2048
+    sr = native.NativeStreamReader(toy_dir.sam_path)
+    bnd, rid_p, bin_p, nv, n_reads, max_run = sr.next_piece_v2(
+        n_pad, n_pad, lengths, 50, 100, np.uint8, with_plan=True)
+    bits = np.unpackbits(bnd, bitorder="little", count=int(nv))
+    starts = np.flatnonzero(bits)
+    runs = np.diff(np.append(starts, int(nv)))
+    assert n_reads == len(starts) == len(np.unique(whole.read_id))
+    assert max_run == int(runs.max())
+    assert max_run == af.load().max_targets or max_run >= 1
