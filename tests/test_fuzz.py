@@ -16,6 +16,7 @@ Every case is reproducible from its printed seed.
 """
 
 import copy
+import os
 
 import numpy as np
 import pytest
@@ -28,7 +29,7 @@ from slimm_tpu.oracle import OracleProfiler
 from tests.test_engine import assert_states_equal
 from tests.toy import TOY_CONTIGS, build_toy_db, build_toy_dataset, write_sam
 
-N_CASES = 50
+N_CASES = int(os.environ.get("SLIMM_FUZZ_CASES", 50))
 
 
 def gen_case(rng):
