@@ -1266,6 +1266,18 @@ def _profile_file_overlap(options: ProfileOptions, db: SlimmDatabase,
     timer.start("Analysing alignments, reads and references ....... ")
 
     cap = engine.overlap_piece_targets
+    # Scale the piece size so the (bucketed) piece count stays <= ~64: the
+    # final dispatch takes K 4-tuples of tensors, and a many-hundred-arg
+    # jit costs compile time and arg marshaling.  file_size/100 is a
+    # deliberate over-estimate of the record count (SAM lines run
+    # ~150-400 B, BAM ~80-120 B), so the piece budget errs toward fewer,
+    # larger pieces.
+    import os
+    try:
+        est_targets = os.path.getsize(path) // 100 + 1
+    except OSError:
+        est_targets = 0
+    cap = max(cap, -(-est_targets // 56))
     n_s = -(-cap // 2048) * 2048
     d_len = jnp.asarray(geom["lengths_u32"])
     d_off = jnp.asarray(geom["bin_offset"])
