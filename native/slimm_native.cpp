@@ -595,6 +595,7 @@ struct StrMap {
       mask = want - 1;
     }
     meta.reserve(est);
+    arena.reserve(est * 16);  // read names run ~8-20 B; skip realloc copies
   }
 
   // 8-byte-chunked multiply-mix over a ++ b.  Hash VALUES are internal
