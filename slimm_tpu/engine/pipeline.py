@@ -1074,7 +1074,8 @@ def profile_arrays(options: ProfileOptions, db: SlimmDatabase,
         out = sharded_runner.fused(pad(read_id, -1), pad(rid, 0),
                                    pad(pos, 0), lengths_u32,
                                    bin_offset, bin_ends, half, bw,
-                                   dense.lineage, dense.sk_code, q, **kw)
+                                   dense.lineage, dense.sk_code, q,
+                                   emit_coverage=engine.fetch_coverage, **kw)
     else:
         use_pallas = jax.devices()[0].platform != "cpu"
         if int(st.nbins.max()) <= V2_MAX_BIN:

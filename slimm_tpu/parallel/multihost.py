@@ -127,6 +127,7 @@ class MultiHostRunner:
             return fn
         mesh = self.mesh
         use_pallas = mesh.devices.flat[0].platform != "cpu"
+        emit = kw.get("emit_coverage", True)
 
         def shard_fn(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                      half, bin_width, lineage, sk_code, q):
@@ -136,14 +137,18 @@ class MultiHostRunner:
                               use_pallas=use_pallas, **kw)
             # the bitpacked (contig x code) pair presence rides in the
             # replicated packed tail — every output is replicated, so any
-            # host can fetch it (no allgather of record-sized arrays)
-            return (out["packed"], out["cov"], out["uniq_cov"],
-                    out["uniq_cov2"])
+            # host can fetch it (no allgather of record-sized arrays).
+            # emit_coverage=False: no bin-domain histograms at all (matches
+            # the single-device -ro/-co-off path)
+            if emit:
+                return (out["packed"], out["cov"], out["uniq_cov"],
+                        out["uniq_cov2"])
+            return (out["packed"],)
 
         mapped = jax.shard_map(
             shard_fn, mesh=mesh,
             in_specs=(P("data", None),) * 3 + (P(),) * 8,
-            out_specs=(P(),) * 4)
+            out_specs=(P(),) * (4 if emit else 1))
         fn = jax.jit(mapped)
         self._jit_cache[key] = fn
         return fn
@@ -178,8 +183,10 @@ class MultiHostRunner:
                   jnp.asarray(half), jnp.asarray(bin_width),
                   jnp.asarray(lineage), jnp.asarray(sk_code),
                   jnp.asarray(q))
-        return dict(packed=outs[0], cov=outs[1], uniq_cov=outs[2],
-                    uniq_cov2=outs[3])
+        out = dict(packed=outs[0])
+        if kw.get("emit_coverage", True):
+            out.update(cov=outs[1], uniq_cov=outs[2], uniq_cov2=outs[3])
+        return out
 
 
 def main(argv=None):

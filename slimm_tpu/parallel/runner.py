@@ -99,6 +99,7 @@ class ShardedRunner:
         mesh = self.mesh
         has_model = self.model_shards > 1
         use_pallas = self.mesh.devices.flat[0].platform != "cpu"
+        emit = kw.get("emit_coverage", True)
 
         def shard_fn(read_id, rid, pos, lengths_u32, bin_offset, bin_ends,
                      half, bin_width, lineage, sk_code, q):
@@ -109,15 +110,20 @@ class ShardedRunner:
                               model_shards=self.model_shards,
                               use_pallas=use_pallas, **kw)
             # the bitpacked (contig x code) pair presence rides in the
-            # replicated packed tail — no record-sized pair outputs
-            return (out["packed"], out["cov"], out["uniq_cov"],
-                    out["uniq_cov2"])
+            # replicated packed tail — no record-sized pair outputs.
+            # emit_coverage=False (-ro/-co off): packed stats only — the
+            # bin-domain histograms are neither computed nor materialized,
+            # matching the single-device pipeline (pipeline.py _core_after_a)
+            if emit:
+                return (out["packed"], out["cov"], out["uniq_cov"],
+                        out["uniq_cov2"])
+            return (out["packed"],)
 
         hist_spec = P("model") if has_model else P()
         mapped = jax.shard_map(
             shard_fn, mesh=mesh,
             in_specs=(P("data", None),) * 3 + (P(),) * 8,
-            out_specs=(P(),) + (hist_spec,) * 3)
+            out_specs=(P(),) + ((hist_spec,) * 3 if emit else ()))
         fn = jax.jit(mapped)
         self._jit_cache[key] = fn
         return fn
@@ -138,5 +144,7 @@ class ShardedRunner:
                   jnp.asarray(half), jnp.asarray(bin_width),
                   jnp.asarray(lineage), jnp.asarray(sk_code),
                   jnp.asarray(q))
-        return dict(packed=outs[0], cov=outs[1], uniq_cov=outs[2],
-                    uniq_cov2=outs[3])
+        out = dict(packed=outs[0])
+        if kw.get("emit_coverage", True):
+            out.update(cov=outs[1], uniq_cov=outs[2], uniq_cov2=outs[3])
+        return out

@@ -105,6 +105,43 @@ def test_model_sharded_matches_oracle(toy_dir, data, model):
     assert_states_equal(st_o, st_s)
 
 
+@pytest.mark.parametrize("make_runner", [
+    lambda: ShardedRunner(num_shards=4),
+    lambda: ShardedRunner(num_shards=2, model_shards=2),
+    lambda: __import__("slimm_tpu.parallel.multihost",
+                       fromlist=["MultiHostRunner"]).MultiHostRunner(),
+], ids=["data4", "data2xmodel2", "multihost"])
+def test_sharded_no_coverage_fetch(toy_dir, make_runner):
+    # fetch_coverage=False must flow through the scale-out runners too:
+    # the shard_fn returns ONLY the packed stats (no bin-domain
+    # histograms computed or materialized), and every integer counter and
+    # report row is identical to the fetch_coverage=True run
+    st_full = run_sharded(toy_dir, 4)
+    db = copy.deepcopy(build_toy_db(toy_dir))
+    runner = make_runner()
+    st_nc = profile_file(ProfileOptions(), db, toy_dir.sam_path,
+                         engine=EngineOptions(phase_log=False,
+                                              fetch_coverage=False),
+                         sharded_runner=runner)
+    for name in ("hits_count", "matches_count", "uniq_matches_count",
+                 "uniq_matches_count2", "reference_count"):
+        assert getattr(st_full, name) == getattr(st_nc, name), name
+    np.testing.assert_array_equal(st_full.reads_count, st_nc.reads_count)
+    np.testing.assert_array_equal(st_full.uniq_reads_count2,
+                                  st_nc.uniq_reads_count2)
+    assert st_full.valid_ref_ids == st_nc.valid_ref_ids
+    assert st_full.taxon_id__read_count == st_nc.taxon_id__read_count
+    assert st_full.taxon_id__children == st_nc.taxon_id__children
+    assert st_full.abundance_rows() == st_nc.abundance_rows()
+    assert st_nc.cov is None and st_nc.uniq_cov2 is None  # not fetched
+    # the runner really compiled the no-histogram variant (cache keys
+    # embed the kwargs; output arity follows emit_coverage)
+    kw_keys = list(runner._jit_cache)
+    assert kw_keys, "runner was not used"
+    for k in kw_keys:
+        assert dict(k[-1]).get("emit_coverage", True) is False
+
+
 def test_model_sharded_per_device_memory_drops():
     # the per-shard histogram slice is total_bins_pad / model_shards: the
     # whole point of the model axis is that bin-state memory shrinks with
