@@ -2706,9 +2706,14 @@ void stpu_stream_take_v2x(void* h, int64_t n, int64_t n_pad,
   int64_t max_run = 0;
   int64_t prev = -1;  // position of the previous boundary bit
   const int64_t words = (n + 63) >> 6;
+  // the caller's bnd buffer holds n_pad/8 bytes; when n_pad is not a
+  // multiple of 64 the final word is short — bound its read
+  const int64_t bnd_bytes = (n_pad + 7) >> 3;
   for (int64_t w = 0; w < words; ++w) {
-    uint64_t v;
-    memcpy(&v, bnd + w * 8, 8);
+    uint64_t v = 0;
+    const int64_t off = w * 8;
+    const int64_t take = bnd_bytes - off < 8 ? bnd_bytes - off : 8;
+    memcpy(&v, bnd + off, static_cast<size_t>(take));
     if (w == words - 1 && (n & 63))
       v &= (~0ull) >> (64 - (n & 63));  // mask pad bits
     while (v) {

@@ -69,6 +69,9 @@ class EngineOptions:
     # 0 disables the overlap path.
     overlap_min_bytes: int = 64 << 20
     # Targets per uploaded piece in the overlap path (multiple of 2048).
+    # At the default value the engine auto-scales it UP on large files so
+    # the final dispatch stays under ~64 pieces; any explicit value is
+    # honored exactly.
     overlap_piece_targets: int = 262144
     # Chunk-streaming decode+profile: targets per device chunk (0 = off,
     # whole-file single dispatch).  Bounds device memory for files whose

@@ -1269,16 +1269,21 @@ def _profile_file_overlap(options: ProfileOptions, db: SlimmDatabase,
     cap = engine.overlap_piece_targets
     # Scale the piece size so the (bucketed) piece count stays <= ~64: the
     # final dispatch takes K 4-tuples of tensors, and a many-hundred-arg
-    # jit costs compile time and arg marshaling.  file_size/100 is a
-    # deliberate over-estimate of the record count (SAM lines run
-    # ~150-400 B, BAM ~80-120 B), so the piece budget errs toward fewer,
-    # larger pieces.
-    import os
-    try:
-        est_targets = os.path.getsize(path) // 100 + 1
-    except OSError:
-        est_targets = 0
-    cap = max(cap, -(-est_targets // 56))
+    # jit costs compile time and arg marshaling.  The bytes-per-record
+    # divisor deliberately over-estimates the record count (SAM text lines
+    # run ~150-400 B; BGZF-compressed BAM can compress to ~25-60 B/record,
+    # hence the smaller divisor), so the piece budget errs toward fewer,
+    # larger pieces.  Only auto-scale at the DEFAULT cap: an explicit
+    # engine.overlap_piece_targets is an exact user knob (tests rely on
+    # tiny caps to force multi-piece coverage on toy files).
+    if cap == type(engine)().overlap_piece_targets:
+        import os
+        bpr = 25 if path.lower().endswith((".bam", ".gz", ".bgzf")) else 100
+        try:
+            est_targets = os.path.getsize(path) // bpr + 1
+        except OSError:
+            est_targets = 0
+        cap = max(cap, -(-est_targets // 56))
     n_s = -(-cap // 2048) * 2048
     d_len = jnp.asarray(geom["lengths_u32"])
     d_off = jnp.asarray(geom["bin_offset"])

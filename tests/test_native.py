@@ -203,4 +203,6 @@ def test_piece_v2x_plan_matches_numpy(toy_dir):
     runs = np.diff(np.append(starts, int(nv)))
     assert n_reads == len(starts) == len(np.unique(whole.read_id))
     assert max_run == int(runs.max())
-    assert max_run == af.load().max_targets or max_run >= 1
+    # the toy file fits one piece, so the piece plan must equal the
+    # whole-file max run exactly
+    assert max_run == af.load().max_targets
