@@ -7,27 +7,34 @@ metagenomic workload and compares against the single-core C++ baseline
 (native/slimm_native.cpp stpu_baseline_profile — a faithful implementation
 of the reference's hash-map hot loops on the same pre-decoded arrays).
 
-Two numbers are measured:
-  * sustained records/s (the headline `value`): several files' steps are
-    dispatched back-to-back; JAX async dispatch overlaps the ~28 ms axon
-    host<->device round trip with compute, which is how the real CLI
-    processes a directory of BAM files.
-  * single-file latency (secs) including one blocking fetch.
+STALL-PROOF ORCHESTRATION (the round-4 driver artifact was an rc=124
+timeout: one axon-tunnel stall anywhere in ~5+ minutes of phases lost
+every number).  The parent process never touches jax; each phase (core /
+e2e / large / stream) runs in its OWN subprocess under a hard timeout
+with one retry (the tunnel self-recovers), and the headline JSON line is
+printed and flushed THE MOMENT the core phase lands.  A final merged
+line follows when the remaining phases finish; partial results are also
+appended to BENCH_partial.json after every phase.  The driver parses the
+LAST JSON line on stdout, so a kill at any point after the core phase
+still captures the headline.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Driver target (BASELINE.md): >=10x reads/s per chip vs single-core C++.
 
 Env knobs: SLIMM_BENCH_RECORDS (default 8_000_000), SLIMM_BENCH_CONTIGS (50),
 SLIMM_BENCH_REPS (5), SLIMM_BENCH_E2E_RECORDS (default 4_000_000 — a ~1.3 GB
-SAM; representative of a real per-sample alignment file),
+SAM + a BAM variant of the same records; the full CLI data path),
 SLIMM_BENCH_LARGE_RECORDS (default 10_000_000 over a 1000-contig DB — the
 BASELINE.md 1k-genome config; 0 skips), SLIMM_BENCH_STREAM_RECORDS
 (default 32_000_000 chunk-streamed from a ~10 GB SAM incl. decode — the
-BASELINE.md streamed config; 0 skips).
+BASELINE.md streamed config; 0 skips; the parent scales it down when the
+time budget runs short), SLIMM_BENCH_BUDGET (total seconds, default 450),
+SLIMM_BENCH_PHASE (internal: run one phase as a child).
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -73,6 +80,18 @@ def make_workload(n_records, n_contigs, seed=0):
                 n_reads=n_reads_target, lengths=lengths, lineage=lineage,
                 n_dense=n_dense, avg_read_len=avg_read_len,
                 sk_code=sk_code, n_codes=8 + len(sk_dense))
+
+
+def make_bench_db(w, n_contigs):
+    from slimm_tpu.database import SlimmDatabase
+
+    db = SlimmDatabase()
+    for c in range(n_contigs):
+        db.ac__taxid[f"ctg{c}"] = w["lineage"][c].tolist()
+        for lvl in range(8):
+            tid = int(w["lineage"][c, lvl])
+            db.taxid__name.setdefault(tid, (lvl, f"taxon{tid}"))
+    return db
 
 
 def bench_device(w, reps):
@@ -181,123 +200,6 @@ def bench_baseline(w, reps):
     return float(np.median(times)), counters
 
 
-def bench_end_to_end(n_records, n_contigs, seed=1):
-    """Decode + device + report tail on a real SAM file (native streaming
-    decoder -> fused dispatch -> abundance TSV), the full CLI data path."""
-    import tempfile
-    import copy
-
-    from slimm_tpu.config import EngineOptions, ProfileOptions
-    from slimm_tpu.database import SlimmDatabase
-    from slimm_tpu.engine.pipeline import open_alignment_file, profile_arrays
-    from slimm_tpu.engine.reports import write_abundance
-
-    w = make_workload(n_records, n_contigs, seed=seed)
-    names = [f"ctg{c}" for c in range(n_contigs)]
-    db = SlimmDatabase()
-    for c, name in enumerate(names):
-        db.ac__taxid[name] = w["lineage"][c].tolist()
-    for c in range(n_contigs):
-        for lvl in range(8):
-            tid = int(w["lineage"][c, lvl])
-            db.taxid__name.setdefault(tid, (lvl, f"taxon{tid}"))
-
-    tmp = tempfile.mkdtemp(prefix="slimm_bench_")
-    sam = os.path.join(tmp, "bench.sam")
-    seq = "ACGT" * (w["avg_read_len"] // 4)
-    qual = "I" * w["avg_read_len"]
-    with open(sam, "wt", buffering=1 << 22) as f:
-        f.write("@HD\tVN:1.6\n")
-        for c, name in enumerate(names):
-            f.write(f"@SQ\tSN:{name}\tLN:{int(w['lengths'][c])}\n")
-        rid = w["rid"]
-        pos = w["pos"]
-        read = w["read_id"]
-        lines = [
-            f"r{read[i]}\t0\tctg{rid[i]}\t{pos[i] + 1}\t60\t"
-            f"{w['avg_read_len']}M\t*\t0\t0\t{seq}\t{qual}"
-            for i in range(len(rid))
-        ]
-        f.write("\n".join(lines) + "\n")
-    size_mb = os.path.getsize(sam) / 2**20
-
-    def one_pass():
-        t0 = time.perf_counter()
-        af = open_alignment_file(sam, EngineOptions())
-        batch = af.load()
-        t1 = time.perf_counter()
-        st = profile_arrays(
-            copy.deepcopy(ProfileOptions()), db, af.contig_names,
-            af.contig_lengths, batch.read_id.astype(np.int32), batch.rid,
-            batch.pos, batch.n_reads, batch.hits_count,
-            batch.avg_read_length,
-            engine=EngineOptions(phase_log=False, fetch_coverage=False))
-        t2 = time.perf_counter()
-        write_abundance(st, os.path.join(tmp, "out/"), sam)
-        t3 = time.perf_counter()
-        return st, t0, t1, t2, t3
-
-    one_pass()                      # warm the jit cache (one-time compile;
-    # the CLI amortizes it across files).  The 2-vCPU host is noisy
-    # (2-3x run-to-run): keep the best of 3 per path.
-    runs = [one_pass() for _ in range(3)]
-    st, t0, t1, t2, t3 = min(runs, key=lambda r: r[4] - r[1])
-
-    # the real CLI path for large files: decode overlapped with the
-    # host->device upload of v2 pieces, one fused dispatch
-    from slimm_tpu.engine.pipeline import profile_file
-
-    def overlap_pass():
-        o0 = time.perf_counter()
-        stv = profile_file(
-            copy.deepcopy(ProfileOptions()), db, sam,
-            engine=EngineOptions(phase_log=False, fetch_coverage=False))
-        write_abundance(stv, os.path.join(tmp, "out/"), sam)
-        return stv, time.perf_counter() - o0
-
-    overlap_pass()                        # warm the pieces jit
-    ovl = [overlap_pass() for _ in range(3)]
-    stv, overlap_secs = min(ovl, key=lambda r: r[1])
-    assert stv.matches_count == st.matches_count
-
-    # the C++ side of the SAME unit of work (reference slimm.hpp:946-968:
-    # decode -> profile per file; the TSV write is granted to the baseline
-    # for free — it is ~ms on both sides): single-thread native decode of
-    # the same SAM + the single-core hash-map profile hot loops
-    from slimm_tpu.io import native
-
-    base_times = []
-    for _ in range(3):
-        b0 = time.perf_counter()
-        af = native.NativeAlignmentFile(sam, single_thread=True)
-        batch = af.load()
-        secs, counters = native.baseline_profile(
-            batch.read_id.astype(np.int32), batch.rid, batch.pos,
-            batch.n_reads, w["lengths"], w["lineage"],
-            batch.avg_read_length, batch.avg_read_length)
-        base_times.append(time.perf_counter() - b0)
-    base_e2e = float(np.min(base_times))  # same best-of estimator as ours
-    assert counters["matches"] == st.matches_count
-
-    os.remove(sam)
-    # headline e2e = the overlap path (what the CLI runs on large files);
-    # the split keys come from the instrumented non-overlap pass
-    e2e_rps = st.hits_count / min(t3 - t0, overlap_secs)
-    base_rps = st.hits_count / base_e2e
-    return {
-        "e2e_records": int(st.hits_count),
-        "e2e_input_mb": round(size_mb, 1),
-        "e2e_decode_secs": round(t1 - t0, 4),
-        "e2e_device_secs": round(t2 - t1, 4),
-        "e2e_report_secs": round(t3 - t2, 4),
-        "e2e_overlap_secs": round(overlap_secs, 4),
-        "e2e_records_per_s": round(e2e_rps),
-        "baseline_e2e_secs": round(base_e2e, 4),
-        "baseline_e2e_records_per_s": round(base_rps),
-        "vs_baseline_e2e": round(e2e_rps / base_rps, 2),
-    }
-
-
 def write_bench_sam(path, w, n_contigs, block=1 << 20):
     """Write the workload as a SAM file in bounded-memory line blocks."""
     names = [f"ctg{c}" for c in range(n_contigs)]
@@ -317,11 +219,250 @@ def write_bench_sam(path, w, n_contigs, block=1 << 20):
     return os.path.getsize(path) / 2**20
 
 
-def bench_large_db(reps):
+def _bgzf_blocks(payload: bytes, out, level=1):
+    """BGZF-wrap `payload` into <=64KB deflate blocks appended to file
+    `out` (the BAM container format, SAM spec §4.1)."""
+    import struct
+    import zlib
+
+    STEP = 0xFF00
+    for lo in range(0, max(len(payload), 1), STEP):
+        chunk = payload[lo:lo + STEP]
+        co = zlib.compressobj(level, zlib.DEFLATED, -15)
+        cdata = co.compress(chunk) + co.flush()
+        bsize = len(cdata) + 25 + 1
+        out.write(struct.pack("<4BI2BH2B2H", 31, 139, 8, 4, 0, 0, 255,
+                              6, 66, 67, 2, bsize - 1))
+        out.write(cdata)
+        out.write(struct.pack("<II", zlib.crc32(chunk), len(chunk)))
+
+
+def write_bench_bam(path, w, n_contigs, block=1 << 20):
+    """Write the workload as a BAM file (BGZF container, binary records) —
+    the e2e decode-floor attack: binary records parse ~4x less text than
+    SAM and the BGZF blocks inflate block-parallel across both vCPUs.
+    Records are built vectorized with numpy (a python struct loop would
+    take minutes at 4M records)."""
+    import struct
+
+    names = [f"ctg{c}" for c in range(n_contigs)]
+    rl = 4 * (w["avg_read_len"] // 4)  # the SAM twin's actual seq length
+    rid, pos, read = w["rid"], w["pos"], w["read_id"]
+    name_len = len(f"r{max(int(read.max()), 0)}")
+    # fixed-size record: header(32) + qname(name_len+1) + cigar(4)
+    # + seq(ceil(rl/2)) + qual(rl)
+    seq_b = (rl + 1) // 2
+    rec_size = 36 + name_len + 1 + 4 + seq_b + rl
+    with open(path, "wb", buffering=1 << 22) as f:
+        hdr_text = "@HD\tVN:1.6\n" + "".join(
+            f"@SQ\tSN:{nm}\tLN:{int(w['lengths'][c])}\n"
+            for c, nm in enumerate(names))
+        head = b"BAM\x01" + struct.pack("<i", len(hdr_text))
+        head += hdr_text.encode() + struct.pack("<i", n_contigs)
+        for c, nm in enumerate(names):
+            head += struct.pack("<i", len(nm) + 1) + nm.encode() + b"\0"
+            head += struct.pack("<i", int(w["lengths"][c]))
+        _bgzf_blocks(head, f)
+
+        tmpl = np.zeros(rec_size, np.uint8)
+        v32 = lambda a: a.view("<i4")  # noqa: E731
+        for lo in range(0, len(rid), block):
+            hi = min(lo + block, len(rid))
+            n = hi - lo
+            recs = np.broadcast_to(tmpl, (n, rec_size)).copy()
+            head32 = v32(recs[:, :36])
+            head32[:, 0] = rec_size - 4                 # block_size
+            head32[:, 1] = rid[lo:hi]                   # refID
+            head32[:, 2] = pos[lo:hi]                   # POS (0-based)
+            # l_read_name | mapq | bin
+            head32[:, 3] = (name_len + 1) | (60 << 8)
+            head32[:, 4] = 1 | (0 << 16)                # n_cigar | flag=0
+            head32[:, 5] = rl                           # l_seq
+            head32[:, 6] = -1                           # next_refID
+            head32[:, 7] = -1                           # next_pos
+            head32[:, 8] = 0                            # tlen
+            # qname "r<digits>" zero-padded to fixed width + NUL
+            digits = read[lo:hi].astype(np.int64)
+            recs[:, 36] = ord("r")
+            for k in range(name_len - 1):
+                recs[:, 36 + name_len - 1 - k] = (
+                    ord("0") + (digits // 10**k) % 10)
+            recs[:, 36 + name_len] = 0
+            cig = v32(recs[:, 36 + name_len + 1:36 + name_len + 5])
+            cig[:, 0] = rl << 4                         # <rl>M
+            body = recs[:, 36 + name_len + 5:]
+            body[:, :seq_b] = 0x12                      # ACAC... 4-bit
+            body[:, seq_b:] = 40                        # qual 'I'
+            _bgzf_blocks(recs.tobytes(), f)
+        _bgzf_blocks(b"", f)  # EOF marker
+    return os.path.getsize(path) / 2**20
+
+
+# ---------------------------------------------------------------------------
+# phases (each runs in its own subprocess; returns a dict of result keys)
+# ---------------------------------------------------------------------------
+
+
+def phase_core():
+    n_records = int(os.environ.get("SLIMM_BENCH_RECORDS", 8_000_000))
+    n_contigs = int(os.environ.get("SLIMM_BENCH_CONTIGS", 50))
+    reps = int(os.environ.get("SLIMM_BENCH_REPS", 5))
+    w = make_workload(n_records, n_contigs)
+    n = len(w["read_id"])
+    base_secs, _ = bench_baseline(w, reps)
+    latency_secs, sustained_secs, latency_h2d_secs = bench_device(w, reps)
+    dev_rps = n / sustained_secs
+    base_rps = n / base_secs
+    return {
+        "metric": "alignment records/sec/chip through coverage+LCA",
+        "value": round(dev_rps),
+        "unit": "records/s",
+        "vs_baseline": round(dev_rps / base_rps, 2),
+        "baseline_records_per_s_cpp_1core": round(base_rps),
+        "records": n,
+        "device_secs": round(sustained_secs, 4),
+        "latency_secs": round(latency_secs, 4),
+        "latency_h2d_secs": round(latency_h2d_secs, 4),
+        "baseline_secs": round(base_secs, 4),
+        "backend": _backend_name(),
+    }
+
+
+def _e2e_overlap(db, path, tmp, reps=3):
+    """Best-of-N of the real CLI large-file path (decode overlapped with v2
+    piece upload, one fused dispatch) + abundance TSV."""
+    import copy
+
+    from slimm_tpu.config import EngineOptions, ProfileOptions
+    from slimm_tpu.engine.pipeline import profile_file
+    from slimm_tpu.engine.reports import write_abundance
+
+    def one():
+        t0 = time.perf_counter()
+        st = profile_file(
+            copy.deepcopy(ProfileOptions()), db, path,
+            engine=EngineOptions(phase_log=False, fetch_coverage=False))
+        write_abundance(st, os.path.join(tmp, "out/"), path)
+        return st, time.perf_counter() - t0
+
+    one()  # warm the jit cache (one-time compile; the CLI amortizes it)
+    runs = [one() for _ in range(reps)]
+    st, secs = min(runs, key=lambda r: r[1])
+    return st, secs
+
+
+def _e2e_baseline(path, w, reps=3):
+    """Single-core C++ e2e on the same file: single-thread native decode +
+    the reference's hash-map hot loops (slimm.hpp:946-968 unit of work;
+    the TSV write is granted — ~ms on both sides)."""
+    from slimm_tpu.io import native
+
+    base_times = []
+    for _ in range(reps):
+        b0 = time.perf_counter()
+        af = native.NativeAlignmentFile(path, single_thread=True)
+        batch = af.load()
+        secs, counters = native.baseline_profile(
+            batch.read_id.astype(np.int32), batch.rid, batch.pos,
+            batch.n_reads, w["lengths"], w["lineage"],
+            batch.avg_read_length, batch.avg_read_length)
+        base_times.append(time.perf_counter() - b0)
+    return float(np.min(base_times)), counters
+
+
+def phase_e2e():
+    """Decode + device + report tail on a real SAM file AND its BAM
+    twin (native streaming decoder -> fused dispatch -> abundance TSV),
+    the full CLI data path, vs the C++ single-core e2e on the same
+    files."""
+    import copy
+    import tempfile
+
+    from slimm_tpu.config import EngineOptions, ProfileOptions
+    from slimm_tpu.engine.pipeline import open_alignment_file, profile_arrays
+    from slimm_tpu.engine.reports import write_abundance
+
+    n_records = int(os.environ.get("SLIMM_BENCH_E2E_RECORDS", 4_000_000))
+    n_contigs = int(os.environ.get("SLIMM_BENCH_CONTIGS", 50))
+    if n_records <= 0:
+        return {}
+    w = make_workload(n_records, n_contigs, seed=1)
+    db = make_bench_db(w, n_contigs)
+    tmp = tempfile.mkdtemp(prefix="slimm_bench_")
+    sam = os.path.join(tmp, "bench.sam")
+    size_mb = write_bench_sam(sam, w, n_contigs)
+    os.sync()  # flush writeback before timing (it contends for the 2 vCPUs)
+
+    # instrumented split pass (decode / device / report) on the SAM
+    def split_pass():
+        t0 = time.perf_counter()
+        af = open_alignment_file(sam, EngineOptions())
+        batch = af.load()
+        t1 = time.perf_counter()
+        st = profile_arrays(
+            copy.deepcopy(ProfileOptions()), db, af.contig_names,
+            af.contig_lengths, batch.read_id.astype(np.int32), batch.rid,
+            batch.pos, batch.n_reads, batch.hits_count,
+            batch.avg_read_length,
+            engine=EngineOptions(phase_log=False, fetch_coverage=False))
+        t2 = time.perf_counter()
+        write_abundance(st, os.path.join(tmp, "out/"), sam)
+        t3 = time.perf_counter()
+        return st, t0, t1, t2, t3
+
+    split_pass()  # warm
+    runs = [split_pass() for _ in range(3)]
+    st, t0, t1, t2, t3 = min(runs, key=lambda r: r[4] - r[1])
+
+    stv, overlap_secs = _e2e_overlap(db, sam, tmp)
+    assert stv.matches_count == st.matches_count
+    base_e2e, counters = _e2e_baseline(sam, w)
+    assert counters["matches"] == st.matches_count
+    os.remove(sam)
+
+    e2e_rps = st.hits_count / min(t3 - t0, overlap_secs)
+    base_rps = st.hits_count / base_e2e
+    out = {
+        "e2e_records": int(st.hits_count),
+        "e2e_input_mb": round(size_mb, 1),
+        "e2e_decode_secs": round(t1 - t0, 4),
+        "e2e_device_secs": round(t2 - t1, 4),
+        "e2e_report_secs": round(t3 - t2, 4),
+        "e2e_overlap_secs": round(overlap_secs, 4),
+        "e2e_records_per_s": round(e2e_rps),
+        "baseline_e2e_secs": round(base_e2e, 4),
+        "baseline_e2e_records_per_s": round(base_rps),
+        "vs_baseline_e2e": round(e2e_rps / base_rps, 2),
+    }
+
+    # BAM variant: same records in binary form — attacks the SAM text-parse
+    # decode floor (block-parallel BGZF inflate + binary record parse)
+    bam = os.path.join(tmp, "bench.bam")
+    bam_mb = write_bench_bam(bam, w, n_contigs)
+    os.sync()
+    stb, bam_secs = _e2e_overlap(db, bam, tmp)
+    assert stb.matches_count == st.matches_count
+    bam_base_secs, counters = _e2e_baseline(bam, w)
+    assert counters["matches"] == st.matches_count
+    os.remove(bam)
+    bam_rps = stb.hits_count / bam_secs
+    bam_base_rps = stb.hits_count / bam_base_secs
+    out.update({
+        "e2e_bam_input_mb": round(bam_mb, 1),
+        "e2e_bam_secs": round(bam_secs, 4),
+        "e2e_bam_records_per_s": round(bam_rps),
+        "e2e_bam_baseline_secs": round(bam_base_secs, 4),
+        "e2e_bam_vs_baseline": round(bam_rps / bam_base_rps, 2),
+    })
+    return out
+
+
+def phase_large():
     """BASELINE.md config: ~1k-genome DB x 10M records, whole-file device
     pipeline (bin domain ~8.4M: past the Pallas crossover, XLA scatter
     path) vs the single-core baseline on the same arrays."""
     n_records = int(os.environ.get("SLIMM_BENCH_LARGE_RECORDS", 10_000_000))
+    reps = int(os.environ.get("SLIMM_BENCH_REPS", 5))
     if n_records <= 0:
         return {}
     w = make_workload(n_records, 1000, seed=2)
@@ -339,21 +480,24 @@ def bench_large_db(reps):
     }
 
 
-def bench_streaming_config(n_contigs):
+def phase_stream():
     """BASELINE.md config: chunk-streamed profile of a file bigger than
     any sensible single upload (decode + chunked device passes + reports),
     sustained records/s INCLUDING decode, vs the single-core baseline
-    end-to-end on the same file."""
+    end-to-end on the same file.  Reports a decode-only floor measured on
+    the same file right before the streamed runs, so dispatch overhead is
+    attributable, and the median of the measured runs with their spread."""
     import copy
     import shutil
     import tempfile
 
     from slimm_tpu.config import EngineOptions, ProfileOptions
-    from slimm_tpu.database import SlimmDatabase
     from slimm_tpu.engine.pipeline import profile_file_streaming
     from slimm_tpu.engine.reports import write_abundance
 
     n_records = int(os.environ.get("SLIMM_BENCH_STREAM_RECORDS", 32_000_000))
+    n_contigs = int(os.environ.get("SLIMM_BENCH_CONTIGS", 50))
+    stream_reps = int(os.environ.get("SLIMM_BENCH_STREAM_REPS", 2))
     if n_records <= 0:
         return {}
     # ~322 B/record of SAM text; skip gracefully when disk is short
@@ -362,16 +506,26 @@ def bench_streaming_config(n_contigs):
         return {"stream_skipped": "insufficient disk"}
 
     w = make_workload(n_records, n_contigs, seed=3)
-    db = SlimmDatabase()
-    for c in range(n_contigs):
-        db.ac__taxid[f"ctg{c}"] = w["lineage"][c].tolist()
-        for lvl in range(8):
-            tid = int(w["lineage"][c, lvl])
-            db.taxid__name.setdefault(tid, (lvl, f"taxon{tid}"))
-
+    db = make_bench_db(w, n_contigs)
     tmp = tempfile.mkdtemp(prefix="slimm_bench_stream_")
     sam = os.path.join(tmp, "stream.sam")
     size_mb = write_bench_sam(sam, w, n_contigs)
+    # Flush the ~10 GB of dirty pages NOW: background writeback racing the
+    # timed read-back was the dominant run-to-run variance source (2 vCPUs
+    # shared between writeback, the decoder threads, and dispatch).
+    os.sync()
+
+    # decode-only floor on this file, right now, on this host
+    from slimm_tpu.io import native
+    d0 = time.perf_counter()
+    sr = native.NativeStreamReader(sam)
+    n_pad = 4 << 20
+    lengths = w["lengths"]
+    while sr.next_piece_v2(n_pad, n_pad, lengths, 75, 150,
+                           np.uint8) is not None:
+        pass
+    decode_only = time.perf_counter() - d0
+    del sr
 
     def one():
         t0 = time.perf_counter()
@@ -382,11 +536,14 @@ def bench_streaming_config(n_contigs):
         return st, time.perf_counter() - t0
 
     st, warm_secs = one()          # includes one-time jit compile
-    st, secs = one()
     assert st.hits_count == len(w["read_id"])
+    times = []
+    for _ in range(max(1, stream_reps)):
+        st, secs = one()
+        times.append(secs)
+    secs = float(np.median(times))
 
     # single-core C++ end-to-end on the same file (decode + hot loops)
-    from slimm_tpu.io import native
     b0 = time.perf_counter()
     af = native.NativeAlignmentFile(sam, single_thread=True)
     batch = af.load()
@@ -405,51 +562,16 @@ def bench_streaming_config(n_contigs):
         "stream_contigs": n_contigs,
         "stream_input_mb": round(size_mb, 1),
         "stream_secs": round(secs, 3),
+        "stream_secs_runs": [round(t, 3) for t in times],
+        "stream_decode_only_secs": round(decode_only, 3),
         "stream_records_per_s": round(n / secs),
         "stream_baseline_e2e_secs": round(base_e2e, 3),
         "stream_vs_baseline_e2e": round(base_e2e / secs, 2),
     }
 
 
-def main():
-    n_records = int(os.environ.get("SLIMM_BENCH_RECORDS", 8_000_000))
-    n_contigs = int(os.environ.get("SLIMM_BENCH_CONTIGS", 50))
-    reps = int(os.environ.get("SLIMM_BENCH_REPS", 5))
-
-    w = make_workload(n_records, n_contigs)
-    n = len(w["read_id"])
-
-    from slimm_tpu.io import native as native_mod
-    if not native_mod.available():
-        from slimm_tpu.io.native_build import build
-        build(verbose=False)
-
-    base_secs, counters = bench_baseline(w, reps)
-    latency_secs, sustained_secs, latency_h2d_secs = bench_device(w, reps)
-    e2e = bench_end_to_end(
-        int(os.environ.get("SLIMM_BENCH_E2E_RECORDS", 4_000_000)), n_contigs)
-    large = bench_large_db(reps)
-    stream = bench_streaming_config(n_contigs)
-
-    dev_rps = n / sustained_secs
-    base_rps = n / base_secs
-    result = {
-        "metric": "alignment records/sec/chip through coverage+LCA",
-        "value": round(dev_rps),
-        "unit": "records/s",
-        "vs_baseline": round(dev_rps / base_rps, 2),
-        "baseline_records_per_s_cpp_1core": round(base_rps),
-        "records": n,
-        "device_secs": round(sustained_secs, 4),
-        "latency_secs": round(latency_secs, 4),
-        "latency_h2d_secs": round(latency_h2d_secs, 4),
-        "baseline_secs": round(base_secs, 4),
-        "backend": _backend_name(),
-    }
-    result.update(e2e)
-    result.update(large)
-    result.update(stream)
-    print(json.dumps(result))
+PHASES = {"core": phase_core, "e2e": phase_e2e, "large": phase_large,
+          "stream": phase_stream}
 
 
 def _backend_name():
@@ -458,6 +580,128 @@ def _backend_name():
         return f"{jax.default_backend()}:{jax.devices()[0].device_kind}"
     except Exception:
         return "unknown"
+
+
+# ---------------------------------------------------------------------------
+# parent orchestrator (no jax; phases in subprocesses with timeouts)
+# ---------------------------------------------------------------------------
+
+
+def _run_phase(name, timeout, env_extra=None):
+    """Run one phase in a child process; returns (dict, error_str)."""
+    env = dict(os.environ)
+    env["SLIMM_BENCH_PHASE"] = name
+    env.update(env_extra or {})
+    try:
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, timeout=timeout,
+                           stdout=subprocess.PIPE, stderr=sys.stderr)
+    except subprocess.TimeoutExpired:
+        return None, f"timeout({timeout:.0f}s)"
+    if p.returncode != 0:
+        return None, f"rc={p.returncode}"
+    for line in reversed(p.stdout.decode(errors="replace").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line), None
+            except json.JSONDecodeError:
+                pass
+    return None, "no JSON output"
+
+
+def main():
+    if os.environ.get("SLIMM_BENCH_PHASE"):
+        # child mode: one phase, one JSON line
+        result = PHASES[os.environ["SLIMM_BENCH_PHASE"]]()
+        print(json.dumps(result), flush=True)
+        return
+
+    budget = float(os.environ.get("SLIMM_BENCH_BUDGET", 450))
+    t_start = time.perf_counter()
+
+    def remaining():
+        return budget - (time.perf_counter() - t_start)
+
+    # native lib (CPU-only build; phases need it)
+    so = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "slimm_tpu", "native", "libslimm_native.so")
+    if not os.path.exists(so):
+        subprocess.run([sys.executable, "-m", "slimm_tpu.io.native_build"],
+                       stdout=sys.stderr, stderr=sys.stderr, timeout=180)
+
+    result = {"metric": "alignment records/sec/chip through coverage+LCA",
+              "value": 0, "unit": "records/s", "vs_baseline": 0.0}
+    partial_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_partial.json")
+
+    def checkpoint():
+        try:
+            with open(partial_path, "w") as f:
+                json.dump(result, f)
+        except OSError:
+            pass
+
+    def attempt(name, timeout, env_extra=None, retries=1):
+        for k in range(retries + 1):
+            if remaining() < 45:
+                return None, "budget exhausted"
+            t = min(timeout, max(remaining() - 20, 45))
+            print(f"[bench] phase {name} (timeout {t:.0f}s, "
+                  f"{remaining():.0f}s left)", file=sys.stderr, flush=True)
+            out, err = _run_phase(name, t, env_extra)
+            if out is not None:
+                return out, None
+            print(f"[bench] phase {name} failed: {err}"
+                  + (" — retrying" if k < retries else ""),
+                  file=sys.stderr, flush=True)
+            time.sleep(5)  # the axon tunnel self-recovers
+        return None, err
+
+    # 1) core: the headline — print + flush the moment it lands.  A
+    # tunnel stall usually hits at backend init; short timeout + more
+    # retries beats one long box (measured: a stalled child burned 270 s
+    # while the retry finished in under 125 s)
+    core, err = attempt("core", 180, retries=2)
+    if core is not None:
+        result.update(core)
+        print(json.dumps(result), flush=True)
+    else:
+        result["core_error"] = err
+        print(f"[bench] CORE PHASE LOST: {err}", file=sys.stderr, flush=True)
+    checkpoint()
+
+    # 2) e2e (SAM + BAM full data path)
+    out, err = attempt("e2e", 270)
+    result.update(out or {"e2e_error": err})
+    checkpoint()
+
+    # 3) large-DB config
+    out, err = attempt("large", 210)
+    result.update(out or {"large_error": err})
+    checkpoint()
+
+    # 4) streamed config — scale the file to the remaining budget instead
+    # of risking the whole artifact on a 10 GB write
+    n_stream = int(os.environ.get("SLIMM_BENCH_STREAM_RECORDS", 32_000_000))
+    if remaining() < 150:
+        n_stream = 0
+    elif remaining() < 240:
+        n_stream = min(n_stream, 8_000_000)
+    elif remaining() < 330:
+        n_stream = min(n_stream, 16_000_000)
+    if n_stream > 0:
+        out, err = attempt(
+            "stream", max(remaining() - 20, 45),
+            env_extra={"SLIMM_BENCH_STREAM_RECORDS": str(n_stream)},
+            retries=1 if remaining() > 400 else 0)
+        result.update(out or {"stream_error": err})
+    else:
+        result["stream_skipped"] = "insufficient time budget"
+    checkpoint()
+
+    result["bench_total_secs"] = round(time.perf_counter() - t_start, 1)
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

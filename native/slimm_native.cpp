@@ -409,6 +409,87 @@ struct BgzfSource : ByteSource {
   }
 };
 
+// Background-prefetch wrapper: a producer thread pulls inflated chunks
+// from the inner source ahead of the consumer (bounded by a byte budget),
+// overlapping BGZF inflate + CRC with the record parse on the other core.
+// The BAM parser is a serial consumer (unlike the SAM tokenize/consume
+// thread pipeline), so without this wrapper inflate and parse serialize —
+// measured 0.61 s -> ~0.42 s on a 2M-record BAM (2-vCPU host).
+struct PrefetchSource : ByteSource {
+  std::unique_ptr<ByteSource> inner;
+  std::mutex m;
+  std::condition_variable cv;
+  std::deque<std::vector<uint8_t>> q;
+  size_t q_bytes = 0;
+  bool done = false, stop = false;
+  std::string err;
+  std::thread th;
+  static constexpr size_t BUDGET = 48 << 20;  // decompressed bytes ahead
+
+  explicit PrefetchSource(std::unique_ptr<ByteSource> in)
+      : inner(std::move(in)) {
+    th = std::thread([this] {
+      std::vector<uint8_t> c;
+      for (;;) {
+        bool ok = false;
+        try {
+          ok = inner->next(c);
+        } catch (const std::exception& e) {
+          std::lock_guard<std::mutex> lk(m);
+          err = e.what();
+          done = true;
+          cv.notify_all();
+          return;
+        }
+        std::unique_lock<std::mutex> lk(m);
+        if (!ok) {
+          done = true;
+          cv.notify_all();
+          return;
+        }
+        cv.wait(lk, [&] { return q_bytes < BUDGET || stop; });
+        if (stop) {
+          done = true;
+          cv.notify_all();
+          return;
+        }
+        q_bytes += c.size();
+        q.push_back(std::move(c));
+        cv.notify_all();
+        c = {};
+      }
+    });
+  }
+
+  ~PrefetchSource() override {
+    {
+      std::lock_guard<std::mutex> lk(m);
+      stop = true;
+      cv.notify_all();
+    }
+    th.join();
+  }
+
+  bool next(std::vector<uint8_t>& out) override {
+    std::unique_lock<std::mutex> lk(m);
+    cv.wait(lk, [&] { return !q.empty() || done; });
+    if (q.empty()) {
+      if (!err.empty()) throw DecodeError(err);
+      return false;
+    }
+    out = std::move(q.front());
+    q.pop_front();
+    q_bytes -= out.size();
+    cv.notify_all();
+    return true;
+  }
+
+  // consumers call these only after the parse drained the stream (the
+  // producer is done by then, so the inner reads are quiescent)
+  std::string warning() const override { return inner->warning(); }
+  size_t size_hint() const override { return inner->size_hint(); }
+};
+
 // ---------------------------------------------------------------------------
 // decoded file state
 // ---------------------------------------------------------------------------
@@ -1724,6 +1805,8 @@ void* stpu_open2(const char* path, int flags) {
     while (have_first && first.empty()) have_first = src->next(first);
     if (have_first && first.size() >= 4 &&
         memcmp(first.data(), "BAM\1", 4) == 0) {
+      if (!single_thread)  // overlap inflate+CRC with the record parse
+        src = std::make_unique<PrefetchSource>(std::move(src));
       Stream st(src.get());
       st.buf = std::move(first);
       parse_bam_stream(st, f, hash_names);
@@ -2468,6 +2551,8 @@ void* stpu_stream_open2(const char* path, int flags) {
     while (have_first && first.empty()) have_first = s->src->next(first);
     if (have_first && first.size() >= 4 &&
         memcmp(first.data(), "BAM\1", 4) == 0) {
+      if (!(flags & 2))  // overlap inflate+CRC with the record parse
+        s->src = std::make_unique<PrefetchSource>(std::move(s->src));
       s->bam = std::make_unique<BamParser>();
       s->bam->dec.hash_names = hash_names;
       s->bam_st = std::make_unique<Stream>(s->src.get());
