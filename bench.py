@@ -94,7 +94,7 @@ def make_bench_db(w, n_contigs):
     return db
 
 
-def bench_device(w, reps):
+def bench_device(w, reps, measure_h2d=True):
     import jax.numpy as jnp
 
     from slimm_tpu.engine.pipeline import _bucket, fused_profile, seg_plan
@@ -157,6 +157,11 @@ def bench_device(w, reps):
     for o in outs:
         np.asarray(o)
     sustained = (time.perf_counter() - t0) / reps
+
+    if not measure_h2d:
+        # skip the compact-transfer variant (an extra big-program compile
+        # costs minutes on the tunnel at 10M+ bin domains)
+        return latency, sustained, 0.0
 
     # cold per-file latency INCLUDING the host->device record transfer in
     # the compact v2 format (the real per-file dispatch path: the device
@@ -346,7 +351,7 @@ def _e2e_overlap(db, path, tmp, reps=3):
         return st, time.perf_counter() - t0
 
     one()  # warm the jit cache (one-time compile; the CLI amortizes it)
-    runs = [one() for _ in range(reps)]
+    runs = [one() for _ in range(max(1, reps))]
     st, secs = min(runs, key=lambda r: r[1])
     return st, secs
 
@@ -392,6 +397,7 @@ def phase_e2e():
     sam = os.path.join(tmp, "bench.sam")
     size_mb = write_bench_sam(sam, w, n_contigs)
     os.sync()  # flush writeback before timing (it contends for the 2 vCPUs)
+    _mark("e2e SAM written")
 
     # instrumented split pass (decode / device / report) on the SAM
     def split_pass():
@@ -411,12 +417,16 @@ def phase_e2e():
         return st, t0, t1, t2, t3
 
     split_pass()  # warm
-    runs = [split_pass() for _ in range(3)]
+    _mark("e2e split-pass compiled")
+    runs = [split_pass() for _ in range(2)]
     st, t0, t1, t2, t3 = min(runs, key=lambda r: r[4] - r[1])
+    _mark("e2e split-pass measured")
 
-    stv, overlap_secs = _e2e_overlap(db, sam, tmp)
+    stv, overlap_secs = _e2e_overlap(db, sam, tmp, reps=2)
+    _mark("e2e overlap measured")
     assert stv.matches_count == st.matches_count
     base_e2e, counters = _e2e_baseline(sam, w)
+    _mark("e2e baseline measured")
     assert counters["matches"] == st.matches_count
     os.remove(sam)
 
@@ -439,10 +449,11 @@ def phase_e2e():
     # decode floor (block-parallel BGZF inflate + binary record parse)
     bam = os.path.join(tmp, "bench.bam")
     bam_mb = write_bench_bam(bam, w, n_contigs)
-    os.sync()
-    stb, bam_secs = _e2e_overlap(db, bam, tmp)
+    _mark("e2e BAM written")
+    stb, bam_secs = _e2e_overlap(db, bam, tmp, reps=2)
+    _mark("e2e BAM measured")
     assert stb.matches_count == st.matches_count
-    bam_base_secs, counters = _e2e_baseline(bam, w)
+    bam_base_secs, counters = _e2e_baseline(bam, w, reps=2)
     assert counters["matches"] == st.matches_count
     os.remove(bam)
     bam_rps = stb.hits_count / bam_secs
@@ -467,7 +478,7 @@ def phase_large():
         return {}
     w = make_workload(n_records, 1000, seed=2)
     base_secs, _ = bench_baseline(w, 3)
-    latency, sustained, _ = bench_device(w, min(reps, 3))
+    latency, sustained, _ = bench_device(w, min(reps, 3), measure_h2d=False)
     n = len(w["read_id"])
     return {
         "large_records": n,
@@ -514,6 +525,7 @@ def phase_stream():
     # timed read-back was the dominant run-to-run variance source (2 vCPUs
     # shared between writeback, the decoder threads, and dispatch).
     os.sync()
+    _mark(f"stream SAM written ({size_mb:.0f} MB)")
 
     # decode-only floor on this file, right now, on this host
     from slimm_tpu.io import native
@@ -526,6 +538,7 @@ def phase_stream():
         pass
     decode_only = time.perf_counter() - d0
     del sr
+    _mark(f"stream decode-only floor {decode_only:.2f}s")
 
     def one():
         t0 = time.perf_counter()
@@ -536,12 +549,14 @@ def phase_stream():
         return st, time.perf_counter() - t0
 
     st, warm_secs = one()          # includes one-time jit compile
+    _mark(f"stream warm run {warm_secs:.2f}s")
     assert st.hits_count == len(w["read_id"])
     times = []
     for _ in range(max(1, stream_reps)):
         st, secs = one()
         times.append(secs)
     secs = float(np.median(times))
+    _mark(f"stream measured runs {times}")
 
     # single-core C++ end-to-end on the same file (decode + hot loops)
     b0 = time.perf_counter()
@@ -572,6 +587,13 @@ def phase_stream():
 
 PHASES = {"core": phase_core, "e2e": phase_e2e, "large": phase_large,
           "stream": phase_stream}
+
+_T0 = time.perf_counter()
+
+
+def _mark(what):
+    print(f"[bench] +{time.perf_counter() - _T0:.1f}s {what}",
+          file=sys.stderr, flush=True)
 
 
 def _backend_name():
