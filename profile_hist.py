@@ -16,8 +16,28 @@ of the candidate reformulations beats the two-scatter baseline:
     (what the -ro/-co-off profile actually needs from the bin domain is
     occupancy, not counts... except uniq_cov2 mass rides the same path).
 
-Run: python profile_hist.py [n_records] [n_bins_millions]
+Run: python profile_hist.py [n_records] [n_bins_millions] [variants...]
 Prints one JSON line with the timings; wraps everything in jit.
+
+MEASURED (TPU v5e via axon, 2026-08-21, 9.2M records x 12.6M bins —
+the 1k-genome large-DB config's pass-A geometry):
+
+  one_scatter    0.123 s   (75M elem/s — matches the documented rate)
+  two_scatters   0.222 s   (the current pass A: 83M combined elem/s)
+  presence       0.214 s   (int8 .at[].max: NO win — the scatter is
+                            element-bound, not accumulator-width-bound —
+                            and it loses the counts -ro/-co and
+                            reads_count need)
+  packed         compile >9 min, twice (DISQUALIFIED: the engine
+                            compiles per bin-geometry at runtime)
+  fused2x        same scatter family as packed; untimed after packed's
+                            pathological compile
+
+CONCLUSION: the cov+uniq_cov scatter pair is at the XLA scatter roofline
+on this chip.  The large-DB config's 0.558 s device time = 0.222 s
+irreducible scatter pair + ~0.34 s of dedup/segment/LCA machinery over
+10M records.  Do NOT replace the two plain scatters; alternatives either
+tie or do not compile in usable time.
 """
 
 import json
