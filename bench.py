@@ -30,8 +30,10 @@ BASELINE.md streamed config; 0 skips; the parent scales it down when the
 time budget runs short), SLIMM_BENCH_STREAM_REPS (measured streamed runs,
 default 2), SLIMM_BENCH_STREAM_LOG=1 (engine phase logs on the streamed
 runs), SLIMM_BENCH_BAM=1 (adds the BAM e2e variant),
-SLIMM_BENCH_BUDGET (total seconds, default 560),
-SLIMM_BENCH_PHASE (internal: run one phase as a child).
+SLIMM_BENCH_BUDGET (total seconds, default 1500 — the driver's kill
+timeout is ~1800 s, measured from the round-4 artifact mtime vs its
+in-run timestamp), SLIMM_BENCH_PHASE (internal: run one phase as a
+child).
 """
 
 import json
@@ -686,7 +688,7 @@ def main():
         print(json.dumps(result), flush=True)
         return
 
-    budget = float(os.environ.get("SLIMM_BENCH_BUDGET", 560))
+    budget = float(os.environ.get("SLIMM_BENCH_BUDGET", 1500))
     t_start = time.perf_counter()
 
     def remaining():
@@ -731,7 +733,7 @@ def main():
     # tunnel stall usually hits at backend init; short timeout + more
     # retries beats one long box (measured: a stalled child burned 270 s
     # while the retry finished in under 125 s)
-    core, err = attempt("core", 180, retries=2)
+    core, err = attempt("core", 240, retries=2)
     if core is not None:
         result.update(core)
         print(json.dumps(result), flush=True)
@@ -761,7 +763,7 @@ def main():
         n_stream = min(n_stream, 16_000_000)
     if n_stream > 0:
         out, err = attempt(
-            "stream", max(remaining() - 20, 45),
+            "stream", min(max(remaining() - 20, 45), 700),
             env_extra={"SLIMM_BENCH_STREAM_RECORDS": str(n_stream)},
             retries=1 if remaining() > 400 else 0)
         result.update(out or {"stream_error": err})
