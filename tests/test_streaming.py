@@ -135,6 +135,41 @@ def test_streaming_bam_matches_whole(toy_dir, tmp_path):
     assert_states_equal(st_w, st_s)
 
 
+def test_bam_prefetch_backpressure(tmp_path):
+    # A BAM whose decompressed stream exceeds the PrefetchSource byte
+    # budget (48 MB): the producer must block, resume, and keep chunks in
+    # order; decode must equal the SAM twin record-for-record.  Uses the
+    # bench workload writers (vectorized), ~350k records ~= 97 MB raw.
+    import bench
+    from slimm_tpu.io import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+    w = bench.make_workload(350_000, 20, seed=11)
+    sam = str(tmp_path / "bp.sam")
+    bam = str(tmp_path / "bp.bam")
+    bench.write_bench_sam(sam, w, 20)
+    bench.write_bench_bam(bam, w, 20)
+    a = native.NativeAlignmentFile(sam).load()
+    b = native.NativeAlignmentFile(bam).load()
+    assert a.hits_count == b.hits_count == len(w["read_id"])
+    assert a.n_reads == b.n_reads
+    np.testing.assert_array_equal(a.rid, b.rid)
+    np.testing.assert_array_equal(a.pos, b.pos)
+    np.testing.assert_array_equal(a.read_id, b.read_id)
+    # streamed pieces over the same prefetch pipeline
+    sr = native.NativeStreamReader(bam)
+    n_pad = 1 << 17
+    total = 0
+    while True:
+        p = sr.next_piece_v2(n_pad, n_pad, w["lengths"], 74, 148, np.uint8)
+        if p is None:
+            break
+        total += int(p[3])
+    assert total == len(a.rid)
+
+
 @pytest.mark.parametrize("data,model", [(8, 1), (4, 2), (2, 4)])
 def test_streaming_sharded_matches_whole(toy_dir, data, model):
     # streaming x sharding composition (VERDICT r2 item 2): chunked
