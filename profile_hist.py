@@ -23,21 +23,30 @@ MEASURED (TPU v5e via axon, 2026-08-21, 9.2M records x 12.6M bins —
 the 1k-genome large-DB config's pass-A geometry):
 
   one_scatter    0.123 s   (75M elem/s — matches the documented rate)
-  two_scatters   0.222 s   (the current pass A: 83M combined elem/s)
-  presence       0.214 s   (int8 .at[].max: NO win — the scatter is
-                            element-bound, not accumulator-width-bound —
-                            and it loses the counts -ro/-co and
-                            reads_count need)
-  packed         compile >9 min, twice (DISQUALIFIED: the engine
-                            compiles per bin-geometry at runtime)
-  fused2x        same scatter family as packed; untimed after packed's
-                            pathological compile
+  two_scatters   0.223 s   (plain pair: 83M combined elem/s)
+  packed         0.1225 s  (ONE uint32 scatter, lo/hi 16-bit count
+                            fields — as fast as a single scatter: the
+                            op is ELEMENT-bound)
+  fused2x        0.234 s   (doubled domain, 2N elements: no win)
+  presence       0.213 s   (int8 .at[].max ties the pair and loses the
+                            counts -ro/-co and reads_count need)
+  gath           0.173 s   (lengths[rid] + bin_offset[rid] computed-
+                            index gathers at 10M records, 1000 contigs)
+  gathmm         0.036 s   (both columns via ONE one-hot f32 matmul,
+                            u32 split into exact 16-bit halves — 4.8x)
+  passa/full     0.395 / 0.711 s (pre-optimization ablation)
 
-CONCLUSION: the cov+uniq_cov scatter pair is at the XLA scatter roofline
-on this chip.  The large-DB config's 0.558 s device time = 0.222 s
-irreducible scatter pair + ~0.34 s of dedup/segment/LCA machinery over
-10M records.  Do NOT replace the two plain scatters; alternatives either
-tie or do not compile in usable time.
+NOTE on compile times: packed twice took >9 min to compile early in the
+session and later compiled in ~2 min like every other variant — axon
+compile walltime varies wildly run-to-run; never disqualify a program on
+one compile sample.
+
+OUTCOME (landed in engine/pipeline.py): _hist2's scatter path uses the
+packed uint32 scatter with an exact total-mass overflow guard (lax.cond
+falls back to the plain pair for >=2^16-deep bins), and pass A's raw
+binning path gathers both per-contig columns with the one-hot matmul
+when n_contigs <= 4096.  Large-DB config: 0.556 -> 0.316 s device
+(17.9 -> 31.6M rec/s, 4.18x the single-core C++ baseline).
 """
 
 import json
@@ -122,6 +131,75 @@ def main():
                 "fused2x": (fused2x, (idx, w1, w2)),
                 "packed": (packed, (idx, w1, w2)),
                 "presence": (presence, (idx, w1, w2))}
+
+    if any(a in ("passa", "full", "gath", "gathmm") for a in sys.argv[3:]):
+        # ablation at the REAL large-config geometry: pass A alone vs the
+        # whole fused profile (attributes the non-scatter time)
+        import bench
+        from slimm_tpu.engine.pipeline import (_bucket, _pass_a_local,
+                                               fused_profile, seg_plan)
+        wl = bench.make_workload(10_000_000, 1000, seed=2)
+        n_contigs = 1000
+        bw = np.int32(wl["avg_read_len"])
+        nb = wl["lengths"] // np.uint32(bw) + 1
+        boff = np.concatenate([[0], np.cumsum(nb)[:-1]]).astype(np.int32)
+        bends = (boff + nb).astype(np.int32)
+        tbp = -(-int(nb.sum()) // 1024) * 1024
+        _, k_steps, window = seg_plan(wl["read_id"])
+        npd = _bucket(len(wl["read_id"]))
+        rd = np.full(npd, -1, np.int32); rd[:len(wl["read_id"])] = wl["read_id"]
+        ri = np.zeros(npd, np.int32); ri[:len(wl["rid"])] = wl["rid"]
+        po = np.zeros(npd, np.int32); po[:len(wl["pos"])] = wl["pos"]
+        drd, dri, dpo = jnp.asarray(rd), jnp.asarray(ri), jnp.asarray(po)
+        dlen = jnp.asarray(wl["lengths"]); dof = jnp.asarray(boff)
+        den = jnp.asarray(bends); dlin = jnp.asarray(wl["lineage"])
+        dsk = jnp.asarray(wl["sk_code"])
+        half = np.int32(wl["avg_read_len"] // 2)
+        kw = dict(n_contigs=n_contigs, total_bins_pad=tbp,
+                  dedup_window=max(1, window), k_steps=k_steps,
+                  window=window)
+
+        pa = jax.jit(partial(_pass_a_local, **kw))
+
+        def passa(a, b, c):
+            return pa(a, b, c, dlen, dof, half, bw)["cov"]
+
+        def full(a, b, c):
+            return fused_profile(
+                a, b, c, dlen, dof, den, half, bw, dlin, dsk,
+                np.float32(0.95), n_dense=wl["n_dense"],
+                n_codes=wl["n_codes"], emit_coverage=False, **kw)["packed"]
+
+        variants["passa"] = (passa, (drd, dri, dpo))
+        variants["full"] = (full, (drd, dri, dpo))
+
+        # the two per-record table gathers of pass A's raw path, plain
+        # gather vs one-hot f32 matmul (hi/lo 16-bit split keeps u32
+        # table values exact in f32)
+        @jax.jit
+        def gath(rid):
+            rc = jnp.clip(rid, 0, n_contigs - 1)
+            return dlen[rc], dof[rc]
+
+        tbl = jnp.stack([
+            (wl["lengths"] >> 16).astype(np.float32),
+            (wl["lengths"] & 0xFFFF).astype(np.float32),
+            (boff >> 16).astype(np.float32),
+            (boff & 0xFFFF).astype(np.float32)], axis=1)
+
+        @jax.jit
+        def gathmm(rid):
+            rc = jnp.clip(rid, 0, n_contigs - 1)
+            oh = (rc[:, None] == jnp.arange(n_contigs, dtype=jnp.int32)
+                  [None, :]).astype(jnp.float32)
+            g = oh @ tbl
+            hi = g[:, ::2].astype(jnp.int32) << 16
+            lo = g[:, 1::2].astype(jnp.int32)
+            return ((hi[:, 0] | lo[:, 0]).astype(jnp.uint32),
+                    hi[:, 1] | lo[:, 1])
+
+        variants["gath"] = (gath, (dri,))
+        variants["gathmm"] = (gathmm, (dri,))
     only = [a for a in sys.argv[3:] if a in variants]
     r = {"records": n, "bins": B, "backend": jax.default_backend()}
     for name in (only or list(variants)):

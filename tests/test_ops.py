@@ -34,6 +34,37 @@ def test_mxu_hist_parity_interpret():
                                   np.asarray(_reference_hist(idx, w, bp)))
 
 
+def test_hist2_packed_scatter_overflow_fallback():
+    # engine _hist2 scatter path: both counts ride one uint32 scatter
+    # (lo/hi 16-bit fields).  A bin reaching 2^16 w1-hits overflows the
+    # low field; the total-mass guard must detect it and the lax.cond
+    # fall back to the exact two-scatter branch.
+    from slimm_tpu.engine.pipeline import _hist2
+
+    bp = 1024
+    # 70_000 > 2^16 records all in bin 3 (plus a scattered tail)
+    rng = np.random.default_rng(4)
+    n = 80_000
+    idx = np.full(n, 3, np.int32)
+    idx[70_000:] = rng.integers(0, bp, n - 70_000)
+    idx = jnp.asarray(idx)
+    w1 = jnp.asarray(np.ones(n, bool))
+    w2 = jnp.asarray(rng.random(n) < 0.4)
+    h1, h2 = _hist2(idx, w1, w2, bp, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(h1),
+                                  np.asarray(_reference_hist(idx, w1, bp)))
+    np.testing.assert_array_equal(np.asarray(h2),
+                                  np.asarray(_reference_hist(idx, w2, bp)))
+    assert int(h1[3]) == 70_000 + int(np.asarray(idx[70_000:] == 3).sum())
+    # and the packed fast path itself (no overflow) stays exact
+    idx_s = jnp.asarray(rng.integers(0, bp, n).astype(np.int32))
+    h1, h2 = _hist2(idx_s, w1, w2, bp, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(h1),
+                                  np.asarray(_reference_hist(idx_s, w1, bp)))
+    np.testing.assert_array_equal(np.asarray(h2),
+                                  np.asarray(_reference_hist(idx_s, w2, bp)))
+
+
 def test_mxu_hist_heavy_bin_counts():
     # one bin taking >127 hits — int8 products must still accumulate exactly
     n, bp = CHUNK, 1024
