@@ -65,6 +65,43 @@ def test_hist2_packed_scatter_overflow_fallback():
                                   np.asarray(_reference_hist(idx_s, w2, bp)))
 
 
+def test_pass_a_matmul_gather_chromosome_scale():
+    # pass A's one-hot matmul table gather splits u32 values into 16-bit
+    # halves; chromosome-scale contigs (lengths and bin offsets > 2^24,
+    # where plain f32 would LOSE bits) must bin exactly.  Compared against
+    # a numpy recompute of center/bin/global-bin.
+    import jax
+
+    from slimm_tpu.engine.pipeline import _pass_a_local
+
+    rng = np.random.default_rng(5)
+    n_contigs = 5
+    lengths = np.array([700_000_000, 650_000_001, 700_000_000,
+                        700_000_000, 120_000_000], np.uint32)
+    bw = np.int32(150)
+    nbins = lengths // np.uint32(bw) + 1
+    boff = np.concatenate([[0], np.cumsum(nbins)[:-1]]).astype(np.int32)
+    assert int(lengths.max()) > (1 << 24) and int(boff.max()) > (1 << 24)
+    n = 4096
+    read_id = np.arange(n, dtype=np.int32)
+    rid = rng.integers(0, n_contigs, n).astype(np.int32)
+    pos = (rng.random(n) * (lengths[rid] - 150)).astype(np.int64).astype(
+        np.int32)
+    half = np.int32(75)
+    total_bins_pad = -(-int(nbins.sum()) // 1024) * 1024
+    out = jax.jit(lambda a, b, c: _pass_a_local(
+        a, b, c, jnp.asarray(lengths), jnp.asarray(boff), half, bw,
+        n_contigs=n_contigs, total_bins_pad=total_bins_pad,
+        dedup_window=0, k_steps=1, window=1))(read_id, rid, pos)
+    center = np.minimum(pos.astype(np.uint32) + 75, lengths[rid])
+    expect = boff[rid] + (center // np.uint32(150)).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(out["t_gbin"]), expect)
+    cov = np.asarray(out["cov"])
+    assert int(cov.sum()) == n
+    np.testing.assert_array_equal(
+        cov, np.bincount(expect, minlength=total_bins_pad))
+
+
 def test_mxu_hist_heavy_bin_counts():
     # one bin taking >127 hits — int8 products must still accumulate exactly
     n, bp = CHUNK, 1024
