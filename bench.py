@@ -555,7 +555,9 @@ def phase_stream():
 
     n_records = int(os.environ.get("SLIMM_BENCH_STREAM_RECORDS", 32_000_000))
     n_contigs = int(os.environ.get("SLIMM_BENCH_CONTIGS", 50))
-    stream_reps = int(os.environ.get("SLIMM_BENCH_STREAM_REPS", 2))
+    # 3 measured runs: the 2-vCPU host throws occasional 2-3x outlier
+    # runs, and a median-of-2 is just their mean
+    stream_reps = int(os.environ.get("SLIMM_BENCH_STREAM_REPS", 3))
     if n_records <= 0:
         return {}
     # ~322 B/record of SAM text; skip gracefully when disk is short
