@@ -135,11 +135,15 @@ def main():
     if any(a in ("passa", "full", "gath", "gathmm") for a in sys.argv[3:]):
         # ablation at the REAL large-config geometry: pass A alone vs the
         # whole fused profile (attributes the non-scatter time)
+        import os
+
         import bench
         from slimm_tpu.engine.pipeline import (_bucket, _pass_a_local,
                                                fused_profile, seg_plan)
-        wl = bench.make_workload(10_000_000, 1000, seed=2)
-        n_contigs = 1000
+        n_contigs = int(os.environ.get("SLIMM_PH_CONTIGS", 1000))
+        wl = bench.make_workload(
+            int(os.environ.get("SLIMM_PH_RECORDS", 10_000_000)),
+            n_contigs, seed=2)
         bw = np.int32(wl["avg_read_len"])
         nb = wl["lengths"] // np.uint32(bw) + 1
         boff = np.concatenate([[0], np.cumsum(nb)[:-1]]).astype(np.int32)
