@@ -336,3 +336,33 @@ def test_pair_channel_no_agreeing_level(toy_dir):
     assert 0 in st_o.taxon_id__read_count  # the corner actually fired
     assert {0, 5} <= st_o.taxon_id__children[0]
     assert_states_equal(st_o, st_e)
+
+
+def test_deep_bin_overflow_hits_packed_fallback():
+    # >2^16 unique reads all centered in ONE bin: pass A's value-packed
+    # uint32 scatter overflows its 16-bit cov field; the total-mass guard
+    # must route the FULL fused program to the exact two-scatter fallback
+    # (tests/test_ops.py covers _hist2 in isolation; this locks the
+    # end-to-end counters)
+    from slimm_tpu.database import SlimmDatabase
+    from slimm_tpu.engine.pipeline import profile_arrays
+
+    n = 70_000
+    lineage = [9, 8, 7, 6, 5, 4, 3, 2]
+    db = SlimmDatabase()
+    db.ac__taxid["c1"] = list(lineage)
+    for lvl, tid in enumerate(lineage):
+        db.taxid__name.setdefault(tid, (lvl, f"t{tid}"))
+    read_id = np.arange(n, dtype=np.int32)
+    rid = np.zeros(n, np.int32)
+    pos = np.zeros(n, np.int32)
+    st = profile_arrays(ProfileOptions(), db, ["c1"],
+                        np.array([500], np.int64), read_id, rid, pos,
+                        n, n, 100,
+                        engine=EngineOptions(phase_log=False))
+    # center = min(0 + 50, 500) = 50 -> bin 0 of 6
+    assert int(st.cov[0]) == n and int(st.cov.sum()) == n
+    assert int(st.uniq_cov[0]) == n
+    assert int(st.reads_count[0]) == n
+    assert int(st.uniq_reads_count[0]) == n
+    assert st.uniq_matches_count == n
