@@ -143,3 +143,22 @@ def test_profile_missing_db_exits_1(toy_dir, tmp_path, capsys):
                str(tmp_path / "nope.sldb"), toy_dir.sam_path])
     assert rc == 1
     assert "[ERROR]" in capsys.readouterr().err
+
+
+def test_profile_scaleout_flags_identical_tsv(built_db, toy_dir, tmp_path):
+    # the scale-out CLI surface: --shards/--model-shards (2-D mesh) and
+    # --stream (chunked decode+profile) must produce byte-identical
+    # profiles to the plain single-device run
+    plain = str(tmp_path / "plain") + "/"
+    sh = str(tmp_path / "sh") + "/"
+    stream = str(tmp_path / "st") + "/"
+    for d in (plain, sh, stream):
+        os.makedirs(d)
+    assert main(["profile", "-o", plain, built_db, toy_dir.sam_path]) == 0
+    assert main(["profile", "--shards", "2", "--model-shards", "2",
+                 "-o", sh, built_db, toy_dir.sam_path]) == 0
+    assert main(["profile", "--stream", "600", "-o", stream, built_db,
+                 toy_dir.sam_path]) == 0
+    ref = open(os.path.join(plain, "toy-reads_profile.tsv")).read()
+    assert open(os.path.join(sh, "toy-reads_profile.tsv")).read() == ref
+    assert open(os.path.join(stream, "toy-reads_profile.tsv")).read() == ref
