@@ -695,6 +695,14 @@ def main():
     budget = float(os.environ.get("SLIMM_BENCH_BUDGET", 1500))
     t_start = time.perf_counter()
 
+    # children killed by a phase timeout leak their tmp dirs (up to a
+    # 10 GB stream SAM each) — sweep stale ones before starting
+    import glob
+    import shutil
+    import tempfile
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), "slimm_bench_*")):
+        shutil.rmtree(d, ignore_errors=True)
+
     def remaining():
         return budget - (time.perf_counter() - t_start)
 
